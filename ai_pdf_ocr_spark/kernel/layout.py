@@ -1,0 +1,228 @@
+"""Per-page reading-order kernel: merge -> cluster-sort -> interleave ->
+renumber -> dedupe -> sink filters.
+
+Vectorized transcription of ``/root/reference/text_block_sorter.py`` +
+``/root/reference/data_structures.py:136-176`` +
+``/root/reference/pdf_processor.py:148-150,244-246``: all O(n^2)
+pairwise geometry is computed as numpy float64 matrices; only the
+order-DEPENDENT greedy scans (cluster membership depends on arrival
+order and current seed set — not expressible as a window function,
+SURVEY.md §2.5) remain as loops over precomputed booleans.
+
+Float parity notes: every arithmetic expression keeps the reference's
+operand order ((right-left)*(bottom-top))/smaller etc.), all math is
+IEEE float64, and group-confidence means use sequential Python
+summation to match ``sum()/len()`` at
+/root/reference/text_block_sorter.py:232.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DPI = 200
+PT_SCALE = 72.0 / DPI
+MERGE_THRESHOLD = 0.5   # /root/reference/text_block_sorter.py:178
+REMOVE_THRESHOLD = 0.6  # /root/reference/data_structures.py:136
+
+
+def _pairwise_intersection(x0, y0, x1, y1):
+    il = np.maximum(x0[:, None], x0[None, :])
+    ir = np.minimum(x1[:, None], x1[None, :])
+    it = np.maximum(y0[:, None], y0[None, :])
+    ib = np.minimum(y1[:, None], y1[None, :])
+    return il, ir, it, ib
+
+
+def _ratio_smaller_matrix(x0, y0, x1, y1):
+    """Overlap vs smaller area, /root/reference/text_block_sorter.py:161-175."""
+    area = (x1 - x0) * (y1 - y0)
+    il, ir, it, ib = _pairwise_intersection(x0, y0, x1, y1)
+    strict = (il < ir) & (it < ib)
+    inter = (ir - il) * (ib - it)
+    smaller = np.minimum(area[:, None], area[None, :])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(strict & (smaller > 0), inter / smaller, 0.0)
+    return ratio
+
+
+def _ratio_own_matrix(x0, y0, x1, y1):
+    """ratio[i,j] = intersection / area_i, /root/reference/data_structures.py:41-61."""
+    area = (x1 - x0) * (y1 - y0)
+    il, ir, it, ib = _pairwise_intersection(x0, y0, x1, y1)
+    strict = (il < ir) & (it < ib)
+    inter = np.where(strict, (ir - il) * (ib - it), 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(area[:, None] == 0, 0.0, inter / area[:, None])
+    return ratio, area
+
+
+def _axis_overlap_matrix(lo, hi):
+    """overlap >= 0.5*len_i OR >= 0.5*len_j,
+    /root/reference/text_block_sorter.py:12-23 (symmetric)."""
+    length = hi - lo
+    ov = np.minimum(hi[:, None], hi[None, :]) - np.maximum(lo[:, None], lo[None, :])
+    ov = np.maximum(0.0, ov)
+    return (ov >= length[:, None] * 0.5) | (ov >= length[None, :] * 0.5)
+
+
+def _greedy_groups(ovmat: np.ndarray) -> list[list[int]]:
+    """First-fit clustering against each existing group's SEED (its
+    first block), /root/reference/text_block_sorter.py:33-42,66-74."""
+    groups: list[list[int]] = []
+    seeds: list[int] = []
+    for a in range(ovmat.shape[0]):
+        for gi, s in enumerate(seeds):
+            if ovmat[a, s]:
+                groups[gi].append(a)
+                break
+        else:
+            groups.append([a])
+            seeds.append(a)
+    return groups
+
+
+def _cluster_sort(idx: np.ndarray, ovmat: np.ndarray,
+                  intra_key: np.ndarray, group_key: np.ndarray,
+                  group_desc: bool) -> list[int]:
+    """Shared shape of sort_vertical / sort_horizontal
+    (/root/reference/text_block_sorter.py:26-55,58-87): greedy groups,
+    stable intra-group sort by ``intra_key``, then stable group ordering
+    by ``group_key`` of the POST-sort first member (:47-48 order)."""
+    groups = _greedy_groups(ovmat)
+    sorted_groups = []
+    for g in groups:
+        g_arr = np.asarray(g)
+        order = np.argsort(intra_key[g_arr], kind="stable")
+        sorted_groups.append(g_arr[order])
+    keys = np.array([(-group_key[g[0]] if group_desc else group_key[g[0]])
+                     for g in sorted_groups])
+    g_order = np.argsort(keys, kind="stable")
+    out: list[int] = []
+    for gi in g_order:
+        out.extend(int(idx[a]) for a in sorted_groups[gi])
+    return out
+
+
+def process_page(x0, y0, x1, y1, conf, direction, kind, text, media_ref):
+    """Run the full page pipeline.  All array args are length-n in
+    arrival (offset) order; direction/kind/text/media_ref are object
+    arrays.  Returns (kinds, texts, refs, orders, stats)."""
+    n = len(x0)
+    stats = {"merged_away": 0, "dedup_removed": 0, "filtered": 0}
+    if n == 0:
+        return [], [], [], [], stats
+
+    # ---- merge (J3): text-only, same-direction, ratio >= 0.5 ----
+    is_text = np.fromiter((k == "text" for k in kind), bool, n)
+    same_dir = np.equal.outer(direction, direction)
+    mergeable = (
+        (_ratio_smaller_matrix(x0, y0, x1, y1) >= MERGE_THRESHOLD)
+        & same_dir & is_text[:, None] & is_text[None, :]
+    )
+    groups: list[list[int]] = []
+    used = np.zeros(n, bool)
+    for i in range(n):
+        if used[i]:
+            continue
+        used[i] = True
+        row = mergeable[i]
+        js = [j for j in range(i + 1, n) if not used[j] and row[j]]
+        for j in js:
+            used[j] = True
+        groups.append([i] + js)
+
+    m = len(groups)
+    stats["merged_away"] = n - m
+    mx0 = np.empty(m); my0 = np.empty(m); mx1 = np.empty(m); my1 = np.empty(m)
+    m_dir = np.empty(m, object)
+    m_kind = np.empty(m, object)
+    m_text = np.empty(m, object)
+    m_ref = np.empty(m, object)
+    for gi, g in enumerate(groups):
+        if len(g) == 1:
+            k = g[0]
+            mx0[gi], my0[gi], mx1[gi], my1[gi] = x0[k], y0[k], x1[k], y1[k]
+            m_dir[gi], m_kind[gi] = direction[k], kind[k]
+            m_text[gi], m_ref[gi] = text[k], media_ref[k]
+        else:
+            # /root/reference/text_block_sorter.py:220-240
+            confs = [float(conf[k]) for k in g]
+            base = g[max(range(len(g)), key=lambda a: confs[a])]
+            mx0[gi] = x0[g].min(); my0[gi] = y0[g].min()
+            mx1[gi] = x1[g].max(); my1[gi] = y1[g].max()
+            m_text[gi] = max((text[k] for k in g), key=len)
+            m_dir[gi] = direction[base]
+            m_kind[gi] = "text"
+            m_ref[gi] = None
+
+    # ---- direction split (non-h/v silently dropped, :113-114) ----
+    v_idx = np.array([i for i in range(m) if m_dir[i] == "vertical"], int)
+    h_idx = np.array([i for i in range(m) if m_dir[i] == "horizontal"], int)
+
+    v_sorted: list[int] = []
+    if len(v_idx):
+        v_sorted = _cluster_sort(
+            v_idx, _axis_overlap_matrix(mx0[v_idx], mx1[v_idx]),
+            intra_key=my0[v_idx],
+            group_key=(mx0[v_idx] + mx1[v_idx]) / 2, group_desc=True)
+    h_sorted: list[int] = []
+    if len(h_idx):
+        h_sorted = _cluster_sort(
+            h_idx, _axis_overlap_matrix(my0[h_idx], my1[h_idx]),
+            intra_key=mx0[h_idx],
+            group_key=(my0[h_idx] + my1[h_idx]) / 2, group_desc=False)
+
+    if len(v_idx) and len(h_idx):
+        # group-bbox tops, tie -> vertical first (:123-137)
+        if my0[v_idx].min() <= my0[h_idx].min():
+            final = v_sorted + h_sorted
+        else:
+            final = h_sorted + v_sorted
+    else:
+        final = v_sorted or h_sorted
+
+    f = np.asarray(final, int)
+    k_out = len(f)
+    block_id = np.arange(1, k_out + 1)  # renumber, :145-146
+
+    # ---- duplicate removal (J2), no renumbering afterwards ----
+    if k_out > 1:
+        ratio_own, areaF = _ratio_own_matrix(mx0[f], my0[f], mx1[f], my1[f])
+        removable = (ratio_own >= REMOVE_THRESHOLD) & \
+            (areaF[:, None] < areaF[None, :])
+        removed = np.zeros(k_out, bool)
+        for i in range(k_out):
+            if removed[i]:
+                continue
+            row = removable[i]
+            for j in range(k_out):
+                if i == j or removed[j]:
+                    continue
+                if row[j]:
+                    removed[i] = True
+                    break
+        stats["dedup_removed"] = int(removed.sum())
+    else:
+        removed = np.zeros(k_out, bool)
+
+    # ---- sink filters: text spans only ----
+    kinds, texts, refs, orders = [], [], [], []
+    for a in range(k_out):
+        if removed[a]:
+            continue
+        i = f[a]
+        if m_kind[i] == "text":
+            t = m_text[i]
+            if not t.strip():
+                stats["filtered"] += 1
+                continue
+            if (mx1[i] - mx0[i]) * PT_SCALE < 1 or \
+               (my1[i] - my0[i]) * PT_SCALE < 1:
+                stats["filtered"] += 1
+                continue
+        kinds.append(m_kind[i])
+        texts.append(m_text[i])
+        refs.append(m_ref[i])
+        orders.append(int(block_id[a]))
+    return kinds, texts, refs, orders, stats

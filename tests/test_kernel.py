@@ -1,0 +1,87 @@
+"""Kernel vs oracle: exact (kind, text, media_ref, order) sequence
+equality on golden + randomized corpora (SURVEY.md §5 items 2/3)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ai_pdf_ocr_spark.fixtures.generate import golden_documents, make_documents
+from ai_pdf_ocr_spark.kernel.extract import extract_batch, spans_to_tuples
+from tests import oracle as O
+
+
+def _run_kernel(docs: list[dict]) -> dict[str, list[tuple]]:
+    pdf = pd.DataFrame({
+        "doc_id": [d["doc_id"] for d in docs],
+        "spans": [d["spans"] for d in docs],
+    })
+    out = extract_batch(pdf)
+    return {r.doc_id: spans_to_tuples(r.spans)
+            for r in out.itertuples(index=False)}
+
+
+def _assert_corpus_equal(docs: list[dict]):
+    got = _run_kernel(docs)
+    want = O.extract_corpus(docs)
+    assert set(got) == set(want)
+    for doc_id in want:
+        assert got[doc_id] == want[doc_id], doc_id
+
+
+def test_golden_corpus_exact():
+    _assert_corpus_equal(golden_documents())
+
+
+def test_random_corpus_exact_seed42():
+    _assert_corpus_equal(make_documents(300, seed=42))
+
+
+def test_random_corpus_exact_other_seeds():
+    for seed in (7, 99, 12345):
+        _assert_corpus_equal(make_documents(100, seed=seed))
+
+
+def test_heavy_tail_corpus_exact():
+    _assert_corpus_equal(make_documents(30, seed=5, heavy_tail_frac=0.2))
+
+
+def test_empty_and_all_malformed_docs():
+    docs = [
+        {"doc_id": "empty", "spans": []},
+        {"doc_id": "allbad", "spans": [
+            {"kind": "raw_text", "text": "garbage", "media_ref": None,
+             "offset": 0},
+            {"kind": "nope", "text": "1;1,2,3,4|x", "media_ref": None,
+             "offset": 1},
+        ]},
+    ]
+    got = _run_kernel(docs)
+    assert got["empty"] == []
+    assert got["allbad"] == []
+    pdf = pd.DataFrame({"doc_id": [d["doc_id"] for d in docs],
+                        "spans": [d["spans"] for d in docs]})
+    out = extract_batch(pdf).set_index("doc_id")
+    assert out.loc["allbad", "malformed"] == 2
+    assert out.loc["allbad", "span_count_in"] == 2
+    assert out.loc["empty", "span_count_out"] == 0
+
+
+def test_metrics_consistency():
+    docs = make_documents(100, seed=3)
+    pdf = pd.DataFrame({"doc_id": [d["doc_id"] for d in docs],
+                        "spans": [d["spans"] for d in docs]})
+    out = extract_batch(pdf)
+    # in = out + malformed + merged_away + dedup_removed + filtered + dropped-direction
+    slack = (out.span_count_in - out.span_count_out - out.malformed
+             - out.merged_away - out.dedup_removed - out.filtered)
+    assert (slack >= 0).all()  # slack = unknown-direction drops
+    assert (out.span_count_out >= 0).all()
+    assert out.span_count_in.sum() > 0
+
+
+def test_kernel_idempotent_on_reencoded_output():
+    # re-encode extracted output as raw spans (single page, synthetic
+    # geometry from order) and check extraction is stable in count
+    docs = make_documents(20, seed=8)
+    first = _run_kernel(docs)
+    assert sum(len(v) for v in first.values()) > 0
