@@ -1,0 +1,115 @@
+"""Salted, span-count-weighted repartitioning (north_rule requirement).
+
+The reference processes one document and needs no parallelism; at
+10^12 docs the UDF-stage compute skew (a few documents with 10-100x the
+spans) is the bottleneck AQE cannot fix (AQE skew handling only covers
+joins/shuffle reads, not Python-UDF compute, SURVEY.md §4).
+
+Strategy — scale-correct, no global sort/window:
+ 1. salt  = pmod(xxhash64(doc_id), B) with B >> P buckets (default 4096)
+ 2. one tiny aggregation computes per-bucket span-count weights
+    (<= B rows collected to the driver — constant size regardless of
+    corpus size)
+ 3. driver LPT-packs buckets into P bins by weight (greedy
+    longest-processing-time; deterministic: ties broken by salt)
+ 4. each bin is mapped to a *representative* int whose
+    murmur3-hash-mod-P equals the bin id, so ``repartition(P, rep)``
+    places every bin in exactly the intended partition — no
+    balls-into-bins collisions.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 4096
+
+_REP_CACHE: dict[tuple[str, int], list[int]] = {}
+
+
+def partition_representatives(spark: SparkSession, p: int) -> list[int]:
+    """reps[k] = smallest non-negative int v with
+    pmod(murmur3(v), p) == k (Spark's HashPartitioning placement)."""
+    key = (spark.sparkContext.applicationId, p)
+    if key not in _REP_CACHE:
+        rows = (
+            spark.range(0, max(64 * p, 4096))
+            .select(F.col("id").cast("int").alias("v"))
+            .withColumn("k", F.pmod(F.hash("v"), F.lit(p)))
+            .groupBy("k").agg(F.min("v").alias("v"))
+            .collect()
+        )
+        reps = [0] * p
+        seen = set()
+        for r in rows:
+            reps[r.k] = r.v
+            seen.add(r.k)
+        if len(seen) != p:  # pragma: no cover - astronomically unlikely
+            raise RuntimeError("could not find representatives for all bins")
+        _REP_CACHE[key] = reps
+    return _REP_CACHE[key]
+
+
+def _lpt_pack(weights: list[tuple[int, int]], p: int) -> dict[int, int]:
+    """Greedy longest-processing-time bin packing; deterministic.
+
+    weights: [(salt, weight)] -> {salt: bin}."""
+    heap = [(0, k) for k in range(p)]  # (load, bin)
+    heapq.heapify(heap)
+    assignment: dict[int, int] = {}
+    for salt, w in sorted(weights, key=lambda t: (-t[1], t[0])):
+        load, k = heapq.heappop(heap)
+        assignment[salt] = k
+        heapq.heappush(heap, (load + w, k))
+    return assignment
+
+
+def assign_bins(df: DataFrame, num_partitions: int,
+                buckets: int = DEFAULT_BUCKETS,
+                weight_col: str = "spans") -> DataFrame:
+    """Add deterministic ``bin`` (0..P-1) and ``rep`` columns.
+
+    Deterministic for a given (corpus, P, buckets): the weight profile
+    is a pure aggregate of the data, LPT is deterministic, so resume
+    re-derives identical bins (SURVEY.md §7 'weighted repartition
+    correctness under resume')."""
+    spark = df.sparkSession
+    salted = df.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int"))
+    weights = [
+        (r.salt, r.w) for r in
+        salted.groupBy("salt")
+        .agg(F.sum(F.greatest(F.size(F.col(weight_col)), F.lit(1)))
+             .alias("w"))
+        .collect()
+    ]
+    assignment = _lpt_pack(weights, num_partitions)
+    reps = partition_representatives(spark, num_partitions)
+    mapping = F.create_map(*[
+        x for salt, b in sorted(assignment.items())
+        for x in (F.lit(salt), F.lit(b))
+    ])
+    return (
+        salted
+        .withColumn("bin", mapping[F.col("salt")])
+        .drop("salt")
+        .withColumn("rep", F.element_at(
+            F.array(*[F.lit(v) for v in reps]), F.col("bin") + 1))
+    )
+
+
+def weighted_repartition(df: DataFrame, num_partitions: int,
+                         buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Repartition documents into P span-count-balanced partitions.
+
+    Partition i receives exactly the docs with bin == i (verified by
+    tests/test_partitioning.py).  Rows are sorted by doc_id within each
+    partition for deterministic downstream output."""
+    binned = assign_bins(df, num_partitions, buckets)
+    return (
+        binned.repartition(num_partitions, "rep")
+        .sortWithinPartitions("doc_id")
+    )
