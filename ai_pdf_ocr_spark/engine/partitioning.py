@@ -67,33 +67,39 @@ def _lpt_pack(weights: list[tuple[int, int]], p: int) -> dict[int, int]:
     return assignment
 
 
-def assign_bins(df: DataFrame, num_partitions: int,
-                buckets: int = DEFAULT_BUCKETS,
-                weight_col: str = "spans") -> DataFrame:
-    """Add deterministic ``bin`` (0..P-1) and ``rep`` columns.
-
-    Deterministic for a given (corpus, P, buckets): the weight profile
-    is a pure aggregate of the data, LPT is deterministic, so resume
-    re-derives identical bins (SURVEY.md §7 'weighted repartition
-    correctness under resume')."""
-    spark = df.sparkSession
-    salted = df.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int"))
+def compute_assignment(df: DataFrame, num_partitions: int,
+                       buckets: int = DEFAULT_BUCKETS,
+                       weight_col: str = "spans") -> dict[int, int]:
+    """salt -> bin map: one tiny aggregation (<= ``buckets`` rows to the
+    driver) + deterministic LPT packing.  Pure function of the corpus
+    weight profile, so resume re-derives identical bins (SURVEY.md §7
+    'weighted repartition correctness under resume')."""
     weights = [
         (r.salt, r.w) for r in
-        salted.groupBy("salt")
+        df.groupBy(F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int")
+                   .alias("salt"))
         .agg(F.sum(F.greatest(F.size(F.col(weight_col)), F.lit(1)))
              .alias("w"))
         .collect()
     ]
-    assignment = _lpt_pack(weights, num_partitions)
+    return _lpt_pack(weights, num_partitions)
+
+
+def assign_bins(df: DataFrame, num_partitions: int,
+                buckets: int = DEFAULT_BUCKETS,
+                assignment: dict[int, int] | None = None) -> DataFrame:
+    """Add deterministic ``bin`` (0..P-1) and ``rep`` columns."""
+    spark = df.sparkSession
+    if assignment is None:
+        assignment = compute_assignment(df, num_partitions, buckets)
     reps = partition_representatives(spark, num_partitions)
     mapping = F.create_map(*[
         x for salt, b in sorted(assignment.items())
         for x in (F.lit(salt), F.lit(b))
     ])
     return (
-        salted
+        df.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int"))
         .withColumn("bin", mapping[F.col("salt")])
         .drop("salt")
         .withColumn("rep", F.element_at(

@@ -1,0 +1,44 @@
+"""Query registry: every SURVEY.md §2 operator exposed as a
+(spark_fn, oracle_sql) pair for the driver's DuckDB correctness gate.
+
+Conventions (driver contract, __spark_entry__.py):
+ - every computed column is aliased identically on both sides;
+ - float aggregates are ROUNDed on both sides (the value-hash compare
+   is exact, and Spark/DuckDB summation orders differ);
+ - DuckDB integer sums are CAST to BIGINT to match Spark's LongType;
+ - no raw timestamp output columns (cast to string when needed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Q:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, sql)
+        return fn
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def all_queries() -> dict[str, Q]:
+    # import side-effect registration
+    from . import dedup, multimodal, relational, similarity, text_analysis  # noqa: F401
+    from .. import flagship  # noqa: F401
+    return dict(REGISTRY)

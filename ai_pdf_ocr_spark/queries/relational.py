@@ -1,0 +1,369 @@
+"""Relational operator surface (SURVEY.md §2.2-2.7) over the shared
+testdata tables, each with a DuckDB oracle.
+
+Scale notes (100 TB design stance, verified via .explain in tests):
+ - joins against region/nation/customer are BROADCAST (tiny dims);
+ - aggregations are partial (map-side combine) by construction —
+   plain groupBy().agg() of algebraic aggregates;
+ - filters/projections sit directly on the parquet scan so Catalyst
+   pushes them down (PushedFilters / ReadSchema pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load, register
+
+# CJK code-point ranges, /root/reference/pdf_processor.py:14-19 (P6)
+CJK_RE_SPARK = "[\\u3040-\\u309F\\u30A0-\\u30FF\\u4E00-\\u9FAF\\uFF65-\\uFF9F]"
+CJK_RE_DUCK = r"[\x{3040}-\x{309F}\x{30A0}-\x{30FF}\x{4E00}-\x{9FAF}\x{FF65}-\x{FF9F}]"
+
+
+# ---------------------------------------------------------------- A4/A8
+@register("q1_pricing_summary", sql="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                          AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4)                          AS avg_qty,
+       ROUND(AVG(l_discount), 4)                          AS avg_disc,
+       COUNT(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: partial-aggregatable, pushdown
+    filter on the scan (A4 conditional counts + A8 rollup analog)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00")
+                 .cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+             F.count("*").alias("count_order"))
+    )
+
+
+@register("q3_top_revenue_orders", sql="""
+SELECT o.o_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+         AS revenue,
+       CAST(o.o_orderdate AS VARCHAR) AS orderdate
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def q3_top_revenue_orders(spark, sf_dir):
+    """Join + agg + deterministic top-k (J1 equi-join, W9 limit)."""
+    c = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue",
+                F.col("o_orderdate").cast("string").alias("orderdate"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register("q5_nation_revenue", sql="""
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""")
+def q5_nation_revenue(spark, sf_dir):
+    """Multi-join star query; all dims broadcast (no big-side shuffle
+    except the final small agg)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+# ------------------------------------------------- P4-P11 filter/project
+@register("p4_nonempty_filter", sql="""
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE LENGTH(TRIM(text)) > 0
+GROUP BY lang
+""")
+def p4_nonempty_filter(spark, sf_dir):
+    """Empty-text admission filter (P4, /root/reference/pdf_processor.py:244-246)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.where(F.length(F.trim("text")) > 0)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("total_chars"))
+    )
+
+
+@register("p6_cjk_predicate", sql=f"""
+SELECT lang,
+       CAST(SUM(CASE WHEN regexp_matches(text, '{CJK_RE_DUCK}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_cjk,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+""")
+def p6_cjk_predicate(spark, sf_dir):
+    """Unicode-range predicate (P6) as native regex — no UDF."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.sum(F.when(F.col("text").rlike(CJK_RE_SPARK), 1)
+                   .otherwise(0)).cast("long").alias("n_cjk"),
+             F.count("*").alias("n_docs"))
+    )
+
+
+@register("p7_font_select", sql=f"""
+SELECT CASE WHEN regexp_matches(text, '{CJK_RE_DUCK}') THEN 'japan'
+            ELSE 'helv' END AS fontname,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY fontname
+""")
+def p7_font_select(spark, sf_dir):
+    """Conditional scalar (P7, /root/reference/pdf_processor.py:22-26)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.when(F.col("text").rlike(CJK_RE_SPARK), "japan")
+                 .otherwise("helv").alias("fontname"))
+        .groupBy("fontname").agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register("p10_fontsize_clamp", sql="""
+SELECT l_returnflag,
+       ROUND(AVG(GREATEST(LEAST(l_quantity * 0.8, 12), 6)), 4) AS avg_fs,
+       ROUND(MIN(GREATEST(LEAST(l_quantity * 0.8, 12), 6)), 4) AS min_fs,
+       ROUND(MAX(GREATEST(LEAST(l_quantity * 0.8, 12), 6)), 4) AS max_fs
+FROM lineitem GROUP BY l_returnflag
+""")
+def p10_fontsize_clamp(spark, sf_dir):
+    """Clamped linear map max(min(x*0.8,12),6) (P10/F6,
+    /root/reference/pdf_processor.py:152-154)."""
+    li = load(spark, sf_dir, "lineitem")
+    fs = F.greatest(F.least(F.col("l_quantity") * 0.8, F.lit(12.0)),
+                    F.lit(6.0))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.avg(fs), 4).alias("avg_fs"),
+             F.round(F.min(fs), 4).alias("min_fs"),
+             F.round(F.max(fs), 4).alias("max_fs"))
+    )
+
+
+@register("p9_rescale_projection", sql="""
+SELECT l_linestatus,
+       ROUND(SUM(l_extendedprice * 72.0 / 200.0), 2) AS total_pt
+FROM lineitem GROUP BY l_linestatus
+""")
+def p9_rescale_projection(spark, sf_dir):
+    """px->pt affine rescale (P9/F9, /root/reference/pdf_processor.py:122-123)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * 72.0 / 200.0), 2)
+             .alias("total_pt"))
+    )
+
+
+# ------------------------------------------------------- A1-A7 aggregates
+@register("a1_ordered_text_concat", sql="""
+SELECT lang, MD5(STRING_AGG(SUBSTR(text, 1, 16), ' ' ORDER BY doc_id))
+         AS concat_md5,
+       COUNT(*) AS n_docs
+FROM documents WHERE doc_id < 100 GROUP BY lang
+""")
+def a1_ordered_text_concat(spark, sf_dir):
+    """Order-preserving string aggregation (A1/A5/F4: ordered concat_ws).
+    Spark: sort_array(collect_list(struct)) keeps it deterministic."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return (
+        d.select("lang", F.struct("doc_id",
+                                  F.substring("text", 1, 16).alias("t"))
+                 .alias("s"))
+        .groupBy("lang")
+        .agg(F.md5(F.concat_ws(" ", F.transform(
+            F.sort_array(F.collect_list("s")), lambda s: s.t)))
+            .alias("concat_md5"),
+            F.count("*").alias("n_docs"))
+    )
+
+
+@register("a7_argmax_doc", sql="""
+SELECT lang, doc_id AS max_doc_id, n_chars AS max_n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id DESC) AS rn
+  FROM documents) WHERE rn = 1
+""")
+def a7_argmax_doc(spark, sf_dir):
+    """Deterministic argmax (A7 merged-block reduction analog,
+    /root/reference/text_block_sorter.py:224,231)."""
+    from pyspark.sql import Window
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"),
+                                           F.desc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("lang", F.col("doc_id").alias("max_doc_id"),
+                F.col("n_chars").alias("max_n_chars"))
+    )
+
+
+# ------------------------------------------------------ windows / limits
+@register("w7_row_number", sql="""
+SELECT user_id, event_id, rn FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn <= 3
+""")
+def w7_row_number(spark, sf_dir):
+    """Sequence renumbering (W7, dense 1..n in order,
+    /root/reference/text_block_sorter.py:145-146)."""
+    from pyspark.sql import Window
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+@register("w9_topk_preview", sql="""
+SELECT event_id, user_id, event_type, ROUND(value, 2) AS value_r
+FROM events ORDER BY value DESC, event_id LIMIT 5
+""")
+def w9_topk_preview(spark, sf_dir):
+    """First-k preview (W9, /root/reference/main.py:143-152)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "user_id", "event_type",
+                 F.round("value", 2).alias("value_r"))
+        .orderBy(F.desc("value_r"), "event_id").limit(5)
+    )
+
+
+# --------------------------------------------------------------- joins
+@register("j4_resume_anti_join", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers_without_orders
+FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+""")
+def j4_resume_anti_join(spark, sf_dir):
+    """left_anti = the resume skip pattern (J4,
+    /root/reference/main.py:371-398)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n_customers_without_orders"))
+    )
+
+
+@register("so2_except_types", sql="""
+SELECT event_type FROM events
+EXCEPT
+SELECT event_type FROM events WHERE user_id = 1
+""")
+def so2_except_types(spark, sf_dir):
+    """Set EXCEPT (SO2, duplicate-removal-as-set-op analog)."""
+    e = load(spark, sf_dir, "events")
+    return (e.select("event_type")
+            .exceptAll(e.where(F.col("user_id") == 1).select("event_type"))
+            .distinct())
+
+
+@register("so1_union_all_counts", sql="""
+SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT 'hi' AS src FROM events WHERE value > 150
+  UNION ALL
+  SELECT 'err' AS src FROM events WHERE event_type = 'error'
+) GROUP BY src
+""")
+def so1_union_all_counts(spark, sf_dir):
+    """UNION ALL of two decoded streams (SO1,
+    /root/reference/ocr_processor.py:356-389)."""
+    e = load(spark, sf_dir, "events")
+    hi = e.where(F.col("value") > 150).select(F.lit("hi").alias("src"))
+    err = e.where(F.col("event_type") == "error") \
+        .select(F.lit("err").alias("src"))
+    return hi.unionByName(err).groupBy("src").agg(F.count("*").alias("n"))
+
+
+@register("f2_substring_preview", sql="""
+SELECT doc_id, SUBSTR(text, 1, 20) AS preview, lang
+FROM documents WHERE doc_id < 10
+""")
+def f2_substring_preview(spark, sf_dir):
+    """Substring preview (F2, /root/reference/main.py:144)."""
+    d = load(spark, sf_dir, "documents")
+    return (d.where(F.col("doc_id") < 10)
+            .select("doc_id", F.substring("text", 1, 20).alias("preview"),
+                    "lang"))
+
+
+@register("w_lag_gap_sessions", sql="""
+SELECT user_id,
+       CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id,
+         EXTRACT(EPOCH FROM ts - LAG(ts) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+  FROM events)
+GROUP BY user_id
+""")
+def w_lag_gap_sessions(spark, sf_dir):
+    """lag + gap sessionization (window-shaped op over event time)."""
+    from pyspark.sql import Window
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")) \
+        .over(w)
+    return (
+        e.withColumn("gap_s", gap)
+        .groupBy("user_id")
+        .agg(F.sum(F.when(F.col("gap_s").isNull()
+                          | (F.col("gap_s") > 1800), 1).otherwise(0))
+             .cast("long").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
