@@ -1,0 +1,77 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded feature extraction as an Arrow-batched mapInPandas stage.
+
+The image/audio codec libraries are not in this container, so the
+decode step is a clearly-marked deterministic STUB (see
+``_stub_decode``); everything Spark-side — binary column handling,
+schema, batching, UDF signature — is real and correctness-checked:
+the stub's outputs are pure functions of the bytes, reproduced by the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import load, register
+
+_FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("fake_width", T.LongType()),
+    T.StructField("fake_height", T.LongType()),
+    T.StructField("first_byte", T.LongType()),
+])
+
+
+def _stub_decode(payload: bytes) -> tuple[int, int, int]:
+    """STUB: stands in for a real image decode (PIL/libvips absent).
+
+    Deterministic pure function of the bytes so the plumbing is
+    testable; a real deployment swaps only this function.
+    """
+    n = len(payload)
+    return (n % 97 + 1, n % 89 + 1, payload[0] if n else 0)
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = pdf["payload"]
+        feats = [_stub_decode(bytes(p)) for p in payloads]
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].values,
+            "byte_len": [len(bytes(p)) for p in payloads],
+            "fake_width": [f[0] for f in feats],
+            "fake_height": [f[1] for f in feats],
+            "first_byte": [f[2] for f in feats],
+        })
+
+
+@register("multimodal_features", sql="""
+SELECT doc_id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
+       CAST(OCTET_LENGTH(ENCODE(text)) % 97 + 1 AS BIGINT) AS fake_width,
+       CAST(OCTET_LENGTH(ENCODE(text)) % 89 + 1 AS BIGINT) AS fake_height,
+       CAST(CASE WHEN OCTET_LENGTH(ENCODE(text)) > 0
+            THEN ASCII(SUBSTR(text, 1, 1)) ELSE 0 END AS BIGINT)
+         AS first_byte
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+""")
+def multimodal_features(spark, sf_dir):
+    """Binary column -> mapInPandas feature extraction.
+
+    The binary payload is synthesized from text (UTF-8 bytes) because
+    the testdata ships no real media; the oracle reproduces the stub's
+    arithmetic.  NOTE: first_byte == ascii(first char) only holds for
+    ASCII-leading docs; the filter keeps the fixture domain ASCII."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    with_bin = d.select("doc_id",
+                        F.encode("text", "utf-8").alias("payload"))
+    return (with_bin.mapInPandas(_extract_features,
+                                 schema=_FEATURE_SCHEMA)
+            .orderBy("doc_id"))

@@ -301,14 +301,15 @@ def j4_resume_anti_join(spark, sf_dir):
 @register("so2_except_types", sql="""
 SELECT event_type FROM events
 EXCEPT
-SELECT event_type FROM events WHERE user_id = 1
+SELECT event_type FROM events WHERE value > 280
 """)
 def so2_except_types(spark, sf_dir):
-    """Set EXCEPT (SO2, duplicate-removal-as-set-op analog)."""
+    """Set EXCEPT with distinct semantics (SO2,
+    duplicate-removal-as-set-op analog): event types never seen among
+    very-high-value events."""
     e = load(spark, sf_dir, "events")
     return (e.select("event_type")
-            .exceptAll(e.where(F.col("user_id") == 1).select("event_type"))
-            .distinct())
+            .subtract(e.where(F.col("value") > 280).select("event_type")))
 
 
 @register("so1_union_all_counts", sql="""
@@ -342,28 +343,30 @@ def f2_substring_preview(spark, sf_dir):
 
 @register("w_lag_gap_sessions", sql="""
 SELECT user_id,
-       CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM (
   SELECT user_id,
-         EXTRACT(EPOCH FROM ts - LAG(ts) OVER
-                 (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+         date_diff('microseconds',
+                   LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id), ts) AS gap_us
   FROM events)
 GROUP BY user_id
 """)
 def w_lag_gap_sessions(spark, sf_dir):
-    """lag + gap sessionization (window-shaped op over event time)."""
+    """lag + gap sessionization (window op over event time); gaps in
+    exact integer microseconds on both sides (no float epoch)."""
     from pyspark.sql import Window
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")) \
-        .over(w)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
     return (
-        e.withColumn("gap_s", gap)
+        e.withColumn("gap_us", gap)
         .groupBy("user_id")
-        .agg(F.sum(F.when(F.col("gap_s").isNull()
-                          | (F.col("gap_s") > 1800), 1).otherwise(0))
+        .agg(F.sum(F.when(F.col("gap_us").isNull()
+                          | (F.col("gap_us") > 1800000000), 1).otherwise(0))
              .cast("long").alias("n_sessions"),
              F.count("*").alias("n_events"))
     )

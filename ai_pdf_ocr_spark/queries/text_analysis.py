@@ -1,0 +1,132 @@
+"""Text-analysis operators over ``documents`` (training-data pipeline
+layer): token counting, quality scoring, language-ID heuristic,
+document fingerprinting.  All pure built-in expressions (JVM-side,
+whole-stage codegen) with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load, register
+from .relational import CJK_RE_DUCK, CJK_RE_SPARK
+
+_PUNCT_SPARK = "[.,;:!?]"
+_PUNCT_DUCK = "[.,;:!?]"
+_STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is")
+
+
+@register("text_token_count", sql=r"""
+SELECT lang,
+       CAST(SUM(LENGTH(LIST_FILTER(
+           STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+           t -> LENGTH(t) > 0))) AS BIGINT) AS total_tokens,
+       ROUND(AVG(LENGTH(LIST_FILTER(
+           STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+           t -> LENGTH(t) > 0))), 4) AS avg_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+""")
+def text_token_count(spark, sf_dir):
+    """Whitespace token counting (per-doc token stats by language)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    return (
+        d.select("lang", F.size(toks).alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.sum("n_tok").cast("long").alias("total_tokens"),
+             F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+             F.count("*").alias("n_docs"))
+    )
+
+
+@register("text_quality_score", sql=rf"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         LENGTH(regexp_extract_all(text, '{_PUNCT_DUCK}'))
+           / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS punct_ratio,
+         LENGTH(LIST_FILTER(
+             STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+             t -> t IN {_STOPWORDS}))
+           / CAST(GREATEST(LENGTH(LIST_FILTER(
+             STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+             t -> LENGTH(t) > 0)), 1) AS DOUBLE) AS stop_ratio
+  FROM documents)
+SELECT lang,
+       ROUND(AVG(punct_ratio), 4) AS avg_punct_ratio,
+       ROUND(AVG(stop_ratio), 4) AS avg_stop_ratio,
+       CAST(SUM(CASE WHEN n_chars >= 100 AND stop_ratio >= 0.05
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+FROM scored GROUP BY lang
+""")
+def text_quality_score(spark, sf_dir):
+    """Quality heuristics: punctuation ratio, stopword ratio, and a
+    simple keep/drop gate (length + stopword floor)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    punct_ratio = (F.regexp_count("text", F.lit(_PUNCT_SPARK))
+                   / F.greatest(F.length("text"), F.lit(1))
+                   .cast("double"))
+    stop_ratio = (F.size(F.filter(toks,
+                                  lambda t: F.array_contains(stop_arr, t)))
+                  / F.greatest(F.size(toks), F.lit(1)).cast("double"))
+    return (
+        d.select("lang", "n_chars",
+                 punct_ratio.alias("punct_ratio"),
+                 stop_ratio.alias("stop_ratio"))
+        .groupBy("lang")
+        .agg(F.round(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
+             F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+             F.sum(F.when((F.col("n_chars") >= 100)
+                          & (F.col("stop_ratio") >= 0.05), 1)
+                   .otherwise(0)).cast("long").alias("n_quality"))
+    )
+
+
+@register("text_langid_heuristic", sql=f"""
+SELECT lang,
+       CASE WHEN regexp_matches(text, '{CJK_RE_DUCK}') THEN 'cjk'
+            WHEN LENGTH(regexp_extract_all(text, '[A-Za-z]'))
+                 >= 0.5 * GREATEST(LENGTH(text), 1) THEN 'latin'
+            ELSE 'other' END AS predicted,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang, predicted ORDER BY lang, predicted
+""")
+def text_langid_heuristic(spark, sf_dir):
+    """Character-class language-ID heuristic -> confusion counts vs the
+    labeled lang column."""
+    d = load(spark, sf_dir, "documents")
+    latin_cnt = F.regexp_count("text", F.lit("[A-Za-z]"))
+    predicted = (
+        F.when(F.col("text").rlike(CJK_RE_SPARK), "cjk")
+        .when(latin_cnt >= 0.5 * F.greatest(F.length("text"), F.lit(1)),
+              "latin")
+        .otherwise("other")
+    )
+    return (
+        d.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted").agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@register("text_fingerprint", sql=r"""
+SELECT doc_id,
+       MD5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g'))
+         AS fingerprint
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+""")
+def text_fingerprint(spark, sf_dir):
+    """Normalized content fingerprint (whitespace-collapsed md5) — the
+    cheap exact-dup key for corpus-level dedupe."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("doc_id") < 50)
+        .select("doc_id",
+                F.md5(F.regexp_replace(F.lower(F.trim("text")),
+                                       r"\s+", " ")).alias("fingerprint"))
+        .orderBy("doc_id")
+    )

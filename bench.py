@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Bench harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+The extraction benchmark reads a pre-materialized parquet corpus of
+synthetic interleaved documents (generated distributed, cached in
+/tmp across runs) so the measured time is the pipeline, not the
+generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# extraction corpus size scales with sf
+_EXTRACT_DOCS = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 12000}
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_token_count",
+    "text_quality_score",
+    "ann_bruteforce_topk",
+    "w_lag_gap_sessions",
+]
+
+
+def ensure_corpus(spark, n_docs: int) -> str:
+    path = f"/tmp/spark_graft_bench/docs_{n_docs}_v1"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from ai_pdf_ocr_spark.flagship import synthetic_documents_distributed
+        (synthetic_documents_distributed(spark, n_docs,
+                                         heavy_tail_frac=0.02)
+         .write.mode("overwrite").parquet(path))
+    return path
+
+
+def bench_extraction(spark, n_docs: int) -> tuple[float, dict]:
+    from pyspark.sql import functions as F
+
+    from ai_pdf_ocr_spark.engine.partitioning import weighted_repartition
+    from ai_pdf_ocr_spark.engine.pipeline import extract_documents
+
+    path = ensure_corpus(spark, n_docs)
+    docs = spark.read.parquet(path)
+    t0 = time.monotonic()
+    out = (
+        extract_documents(weighted_repartition(docs, CPUS))
+        .agg(F.count("*").alias("docs"),
+             F.sum("span_count_out").alias("spans_out"),
+             F.sum("span_count_in").alias("spans_in"))
+        .collect()[0]
+    )
+    dt = time.monotonic() - t0
+    return dt, {"docs": out.docs, "spans_in": out.spans_in,
+                "spans_out": out.spans_out,
+                "docs_per_sec": round(out.docs / dt, 1),
+                "spans_in_per_sec": round(out.spans_in / dt, 1)}
+
+
+def main() -> None:
+    from ai_pdf_ocr_spark.engine.session import build_session
+    from ai_pdf_ocr_spark.queries import all_queries
+
+    spark = build_session(app="bench", master=f"local[{CPUS}]",
+                          shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = all_queries()
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.1
+
+    timings: dict[str, float] = {}
+    # warm the JVM/codegen paths once with a trivial action
+    spark.range(1000).count()
+    for name in HEADLINE:
+        q = reg[name]
+        t0 = time.monotonic()
+        df = q.fn(spark, SF_DIR)
+        rows = df.collect()
+        timings[name] = round(time.monotonic() - t0, 3)
+        assert rows is not None
+
+    n_docs = _EXTRACT_DOCS.get(sf_name, 2000)
+    ext_s, ext_stats = bench_extraction(spark, n_docs)
+    timings["extract_spans"] = round(ext_s, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline query wall time (sum)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        "extraction": {"n_docs": n_docs, **ext_stats},
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (north_rule: >=0.8 from N to 4N).
+
+No multi-node cluster exists in this sandbox, so the same frozen
+extraction job is run at two parallelism levels — local[8] and
+local[32] — on the identical pre-materialized parquet corpus, and
+throughput at both plus efficiency = (thr_32 / thr_8) / 4 is reported
+(and appended to BASELINE.md by `--update-baseline`).
+
+Each level runs in a fresh subprocess so the JVM/session state of one
+level cannot leak into the other.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "12000"))
+LEVELS = (8, 32)
+REPEATS = 2  # take the best of N to damp JIT/IO noise
+
+
+def worker(cpus: int, n_docs: int) -> None:
+    from pyspark.sql import functions as F
+
+    from ai_pdf_ocr_spark.engine.partitioning import weighted_repartition
+    from ai_pdf_ocr_spark.engine.pipeline import extract_documents
+    from ai_pdf_ocr_spark.engine.session import build_session
+
+    from bench import ensure_corpus
+
+    spark = build_session(app=f"scalebench-{cpus}",
+                          master=f"local[{cpus}]",
+                          shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    path = ensure_corpus(spark, n_docs)
+    docs = spark.read.parquet(path)
+    # warm-up: JVM + parquet footer cache, excluded from timing
+    docs.count()
+    best = None
+    for _ in range(REPEATS):
+        t0 = time.monotonic()
+        out = (
+            extract_documents(weighted_repartition(docs, cpus))
+            .agg(F.count("*").alias("docs"),
+                 F.sum("span_count_in").alias("spans_in"))
+            .collect()[0]
+        )
+        dt = time.monotonic() - t0
+        if best is None or dt < best[0]:
+            best = (dt, out.docs, out.spans_in)
+    dt, n, spans = best
+    print(json.dumps({"cpus": cpus, "wall_s": round(dt, 3),
+                      "docs": n, "spans_in": spans,
+                      "docs_per_sec": round(n / dt, 1)}))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), N_DOCS)
+        return
+
+    results = {}
+    for cpus in LEVELS:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             str(cpus)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr)
+            raise SystemExit(f"worker local[{cpus}] failed")
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+
+    lo, hi = LEVELS
+    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) \
+        / (hi / lo)
+    summary = {
+        "metric": "extraction scaling efficiency local[8]->local[32]",
+        "n_docs": N_DOCS,
+        f"local[{lo}]": results[lo],
+        f"local[{hi}]": results[hi],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    if "--update-baseline" in sys.argv:
+        _update_baseline(summary)
+
+
+def _update_baseline(summary: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE.md")
+    with open(path) as f:
+        text = f.read()
+    marker = "## Measured scaling (this engine)"
+    block = f"""{marker}
+
+Same frozen extraction job, identical pre-materialized parquet input
+({summary['n_docs']} synthetic interleaved docs, heavy-tail 2%),
+fresh subprocess per level (see scalebench.py):
+
+| parallelism | wall (s) | docs/sec |
+|---|---|---|
+| local[8]  | {summary['local[8]']['wall_s']} | {summary['local[8]']['docs_per_sec']} |
+| local[32] | {summary['local[32]']['wall_s']} | {summary['local[32]']['docs_per_sec']} |
+
+Scaling efficiency (thr32/thr8)/4 = **{summary['scaling_efficiency']}**
+(target >= 0.8: {'PASS' if summary['pass'] else 'FAIL'}).
+"""
+    if marker in text:
+        text = text[:text.index(marker)] + block
+    else:
+        text = text.rstrip() + "\n\n" + block
+    with open(path, "w") as f:
+        f.write(text)
+
+
+if __name__ == "__main__":
+    main()
