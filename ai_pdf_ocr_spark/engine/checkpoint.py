@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 from ..kernel.extract import KERNEL_VERSION
 from .io import TableStore
-from .partitioning import DEFAULT_BUCKETS, assign_bins, compute_assignment
+from .partitioning import (DEFAULT_BUCKETS, assign_bins, compute_assignment,
+                           mapping_df, with_bin)
 from .pipeline import extract_documents
 
 
@@ -68,14 +69,11 @@ def run_extraction(spark: SparkSession, documents: DataFrame,
 
     part = (todo.repartition(num_partitions, "rep")
             .sortWithinPartitions("doc_id"))
-    # re-derive bin from doc_id after the UDF via the same salt->bin
-    # literal map (avoids threading bin through the Arrow stage)
-    mapping = F.create_map(*[
-        x for s, b in sorted(assignment.items())
-        for x in (F.lit(s), F.lit(b))])
-    extracted = extract_documents(part).withColumn(
-        "bin",
-        mapping[F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int")])
+    # re-derive bin from doc_id after the UDF via the same broadcast
+    # mapping table (avoids threading bin through the Arrow stage)
+    extracted = with_bin(extract_documents(part),
+                         mapping_df(spark, assignment, num_partitions),
+                         buckets).drop("rep")
 
     store.write_extracted(extracted, mode="overwrite")
     wall = time.monotonic() - t0

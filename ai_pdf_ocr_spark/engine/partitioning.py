@@ -74,15 +74,41 @@ def compute_assignment(df: DataFrame, num_partitions: int,
     driver) + deterministic LPT packing.  Pure function of the corpus
     weight profile, so resume re-derives identical bins (SURVEY.md §7
     'weighted repartition correctness under resume')."""
+    # prefer a precomputed span_count stats column: the weight scan then
+    # reads one int64 column instead of the full spans payload
+    if "span_count" in df.columns:
+        w_expr = F.col("span_count")
+    else:
+        w_expr = F.size(F.col(weight_col))
     weights = [
         (r.salt, r.w) for r in
         df.groupBy(F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int")
                    .alias("salt"))
-        .agg(F.sum(F.greatest(F.size(F.col(weight_col)), F.lit(1)))
-             .alias("w"))
+        .agg(F.sum(F.greatest(w_expr, F.lit(1))).alias("w"))
         .collect()
     ]
     return _lpt_pack(weights, num_partitions)
+
+
+def mapping_df(spark: SparkSession, assignment: dict[int, int],
+               num_partitions: int) -> DataFrame:
+    """(salt, bin, rep) lookup table for broadcast joins.
+
+    NB: a literal ``create_map``/``array`` expression is re-built PER
+    ROW by Spark (measured: a 4096-pair CreateMap cost ~50x the kernel
+    and leaked GC pressure); a broadcast hash join against this tiny
+    table is the scalable form."""
+    reps = partition_representatives(spark, num_partitions)
+    rows = [(salt, b, reps[b]) for salt, b in sorted(assignment.items())]
+    return spark.createDataFrame(rows, "salt int, bin int, rep int")
+
+
+def with_bin(df: DataFrame, map_df: DataFrame,
+             buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Attach deterministic ``bin``+``rep`` via broadcast join."""
+    salted = df.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int"))
+    return salted.join(F.broadcast(map_df), "salt", "left").drop("salt")
 
 
 def assign_bins(df: DataFrame, num_partitions: int,
@@ -92,19 +118,8 @@ def assign_bins(df: DataFrame, num_partitions: int,
     spark = df.sparkSession
     if assignment is None:
         assignment = compute_assignment(df, num_partitions, buckets)
-    reps = partition_representatives(spark, num_partitions)
-    mapping = F.create_map(*[
-        x for salt, b in sorted(assignment.items())
-        for x in (F.lit(salt), F.lit(b))
-    ])
-    return (
-        df.withColumn(
-            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int"))
-        .withColumn("bin", mapping[F.col("salt")])
-        .drop("salt")
-        .withColumn("rep", F.element_at(
-            F.array(*[F.lit(v) for v in reps]), F.col("bin") + 1))
-    )
+    return with_bin(df, mapping_df(spark, assignment, num_partitions),
+                    buckets)
 
 
 def weighted_repartition(df: DataFrame, num_partitions: int,

@@ -12,35 +12,34 @@ lazy one-time model init + page-at-a-time streaming,
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import TYPE_CHECKING
 
-import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..kernel.extract import extract_batch
+from ..kernel.extract import extract_record_batch
 from . import schemas
 
-if TYPE_CHECKING:  # pragma: no cover
-    pass
 
-
-def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     # iterator form: per-task setup happens once, then Arrow batches
     # stream through with bounded memory (S3 streaming analog,
     # /root/reference/pdf_processor.py:63-83)
-    for pdf in batches:
-        if len(pdf):
-            yield extract_batch(pdf)
+    for rb in batches:
+        if rb.num_rows:
+            yield extract_record_batch(rb)
 
 
 def extract_documents(df: DataFrame) -> DataFrame:
     """documents(doc_id, spans) -> EXTRACTED rows (spans + metrics).
 
+    mapInArrow, not mapInPandas: the nested spans column stays Arrow
+    end-to-end (zero-copy flatten in, offsets+flat-arrays out); the
+    pandas list<struct> marshaling measured ~5x the kernel compute.
     Explicitly prunes to the two needed columns before the UDF —
     UDFs are pruning barriers (SURVEY.md §4)."""
-    return df.select("doc_id", "spans").mapInPandas(
+    return df.select("doc_id", "spans").mapInArrow(
         _extract_iter, schema=schemas.EXTRACTED)
 
 

