@@ -60,6 +60,47 @@ def ann_bruteforce_topk(spark, sf_dir):
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(10)
 
 
+@register("dedup_embedding_cosine", sql="""
+WITH flat AS (
+  SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, generate_series(1, 64) g(i)
+), norms AS (
+  SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM flat GROUP BY vec_id
+), dots AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2, SUM(a.v * b.v) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.label = b.label
+                          AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT v1, v2, ROUND(dot / (n1.nrm * n2.nrm), 4) AS cosine
+FROM dots JOIN norms n1 ON n1.vec_id = v1
+          JOIN norms n2 ON n2.vec_id = v2
+WHERE dot / (n1.nrm * n2.nrm) >= 0.4
+ORDER BY v1, v2
+""")
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked by label (the
+    exactness baseline for embedding dedupe; the LSH-bucketed variant
+    below is the scale path).  Pairwise only WITHIN a block — the join
+    key bounds the quadratic term."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    v = e.select("vec_id", "label", emb.alias("emb"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = _cosine(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("v1"),
+                F.col("b.vec_id").alias("v2"),
+                F.round(cos, 4).alias("cosine"),
+                cos.alias("_raw"))
+        .where(F.col("_raw") >= 0.4)
+        .drop("_raw")
+        .orderBy("v1", "v2")
+    )
+
+
 N_PLANES = 8
 
 
