@@ -123,13 +123,19 @@ def assign_bins(df: DataFrame, num_partitions: int,
 
 
 def weighted_repartition(df: DataFrame, num_partitions: int,
-                         buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+                         buckets: int = DEFAULT_BUCKETS,
+                         assignment: dict[int, int] | None = None
+                         ) -> DataFrame:
     """Repartition documents into P span-count-balanced partitions.
 
     Partition i receives exactly the docs with bin == i (verified by
-    tests/test_partitioning.py).  Rows are sorted by doc_id within each
-    partition for deterministic downstream output."""
-    binned = assign_bins(df, num_partitions, buckets)
+    tests/test_pipeline.py).  Rows are sorted by doc_id within each
+    partition for deterministic downstream output.
+
+    ``assignment`` lets callers precompute the weight profile once per
+    corpus (it is table-stats metadata — at 100 TB you compute it at
+    ingest/registration time, not per query)."""
+    binned = assign_bins(df, num_partitions, buckets, assignment=assignment)
     return (
         binned.repartition(num_partitions, "rep")
         .sortWithinPartitions("doc_id")

@@ -20,8 +20,18 @@ def build_session(app: str = "ai-pdf-ocr-spark", master: str | None = None,
     if shuffle_partitions is None:
         n = master[master.find("[") + 1:master.find("]")] if "[" in master else str(cpus)
         shuffle_partitions = cpus if n == "*" else int(n)
+    builder = SparkSession.builder.appName(app).master(master)
+    # shuffle spill on tmpfs: disk-backed /tmp serializes shuffle IO and
+    # caps scaling; RAM-backed local dirs keep the exchange CPU-bound
+    # (the cluster analog: NVMe/ram-disk shuffle volumes)
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     return (
-        SparkSession.builder.appName(app).master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

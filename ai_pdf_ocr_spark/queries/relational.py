@@ -329,6 +329,45 @@ def so1_union_all_counts(spark, sf_dir):
     return hi.unionByName(err).groupBy("src").agg(F.count("*").alias("n"))
 
 
+@register("p8_direction_scale", sql="""
+SELECT event_type,
+       ROUND(SUM(CASE WHEN user_id % 2 = 0 THEN value * 0.9
+                 ELSE value END), 2) AS adj_total
+FROM events GROUP BY event_type
+""")
+def p8_direction_scale(spark, sf_dir):
+    """Direction-conditional scale (P8: vertical -> x0.9,
+    /root/reference/pdf_processor.py:29-30)."""
+    e = load(spark, sf_dir, "events")
+    adj = F.when(F.col("user_id") % 2 == 0, F.col("value") * 0.9) \
+        .otherwise(F.col("value"))
+    return (e.groupBy("event_type")
+            .agg(F.round(F.sum(adj), 2).alias("adj_total")))
+
+
+@register("f5_array_minmax", sql="""
+SELECT vec_id,
+       ROUND(CAST(LIST_MIN(embedding) AS DOUBLE), 4) AS emb_min,
+       ROUND(CAST(LIST_MAX(embedding) AS DOUBLE), 4) AS emb_max,
+       LENGTH(embedding) AS dim
+FROM embeddings WHERE vec_id < 20 ORDER BY vec_id
+""")
+def f5_array_minmax(spark, sf_dir):
+    """min/max over a coordinate list (F5: quad->bbox reduction,
+    /root/reference/ocr_processor.py:365-366)."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.where(F.col("vec_id") < 20)
+        .select("vec_id",
+                F.round(F.array_min("embedding").cast("double"), 4)
+                .alias("emb_min"),
+                F.round(F.array_max("embedding").cast("double"), 4)
+                .alias("emb_max"),
+                F.size("embedding").cast("long").alias("dim"))
+        .orderBy("vec_id")
+    )
+
+
 @register("f2_substring_preview", sql="""
 SELECT doc_id, SUBSTR(text, 1, 20) AS preview, lang
 FROM documents WHERE doc_id < 10
