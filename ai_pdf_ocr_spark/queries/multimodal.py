@@ -75,3 +75,50 @@ def multimodal_features(spark, sf_dir):
     return (with_bin.mapInPandas(_extract_features,
                                  schema=_FEATURE_SCHEMA)
             .orderBy("doc_id"))
+
+
+_FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("frame_bytes", T.LongType()),
+])
+
+_FRAME_SIZE = 256
+_SAMPLE_EVERY = 4
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame decoder: treats the payload as fixed-size frames and
+    samples every k-th (a real deployment swaps in an actual video
+    demuxer; the batching/explode plumbing is what is under test)."""
+    for pdf in batches:
+        doc_ids, idxs, sizes = [], [], []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(p)
+            n_frames = len(b) // _FRAME_SIZE
+            for i in range(0, n_frames, _SAMPLE_EVERY):
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                sizes.append(len(b[i * _FRAME_SIZE:(i + 1) * _FRAME_SIZE]))
+        yield pd.DataFrame({"doc_id": doc_ids, "frame_idx": idxs,
+                            "frame_bytes": sizes})
+
+
+@register("multimodal_frame_sample", sql=f"""
+SELECT doc_id,
+       (UNNEST(generate_series(
+            1, (OCTET_LENGTH(ENCODE(text)) // {_FRAME_SIZE}
+                + {_SAMPLE_EVERY} - 1) // {_SAMPLE_EVERY})) - 1)
+         * {_SAMPLE_EVERY} AS frame_idx,
+       CAST({_FRAME_SIZE} AS BIGINT) AS frame_bytes
+FROM documents WHERE doc_id < 100
+ORDER BY doc_id, frame_idx
+""")
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: binary payload -> one row per sampled
+    frame via a mapInPandas fan-out (UDTF-shaped)."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    with_bin = d.select("doc_id",
+                        F.encode("text", "utf-8").alias("payload"))
+    return (with_bin.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+            .orderBy("doc_id", "frame_idx"))

@@ -27,7 +27,7 @@ import subprocess
 import sys
 import time
 
-N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "96000"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "192000"))
 LEVELS = (2, 8, 32)
 PAIRS = ((2, 8), (8, 32))
 MEASURE_RUNS = 3
@@ -110,6 +110,17 @@ def main() -> None:
         return
 
     calib = {n: round(_calibrate(n), 1) for n in LEVELS}
+
+    # pre-materialize the corpus at full parallelism so the low-level
+    # workers don't pay generation cost
+    from ai_pdf_ocr_spark.engine.session import build_session
+
+    from bench import ensure_corpus
+    s = build_session(app="scalebench-gen", master="local[32]",
+                      shuffle_partitions=32)
+    s.sparkContext.setLogLevel("ERROR")
+    ensure_corpus(s, N_DOCS)
+    s.stop()
 
     results: dict[int, dict] = {}
     for cpus in LEVELS:
