@@ -85,3 +85,46 @@ def test_kernel_idempotent_on_reencoded_output():
     docs = make_documents(20, seed=8)
     first = _run_kernel(docs)
     assert sum(len(v) for v in first.values()) > 0
+
+
+def test_decode_fast_path_matches_legacy_pandas():
+    """The Arrow extract_regex fast path and the legacy pandas decode
+    must agree bit-for-bit on masks, numerics, and strings — including
+    payloads only one of the two grammars parses natively."""
+    import numpy as np
+
+    from ai_pdf_ocr_spark.kernel.decode import (_decode_flat_pandas,
+                                                decode_flat)
+
+    adv = ["no pipe", None, "x;1,2,3,4|b", "1;1,2,3|f", "1;a,b,c,d|f",
+           ";|", "9;1,2,3,4;notafloat;horizontal|b", " 1;1,2,3,4|ws page",
+           "1; 1.5,2,3,4|ws coord", "1;1_0,2,3,4|underscore",
+           "1;inf,2,3,4|inf", "1;nan,2,3,4|nan", "1;1,2,3,4;0.5 |ws conf",
+           "1;1,2,3,4;;|", "1;1,2,3,4;|", "1;1,2,3,4;0.5;vertical|v",
+           "1;1,2,3,4;0.5;diag|d", "+1;-1.5,.5,1e3,4.|signs",
+           "1;1,2,3,4;0.5;v;x|5seg", "1;1e999,2,3,4|ovf",
+           "١;1,2,3,4|arabic digit", "1;1,2,3,4|multi\nline",
+           "1;1,2,3,4|", "", "  ", "1;1,2,3,4;Infinity|inf conf",
+           "-2;-1.5,.5,1e3,4.|neg page",
+           "1;1,2,3,4; 0.5;vertical|ws conf dir",
+           "1;1,2,3,4;0.5;|conf empty dir"]
+    kinds = (["raw_text"] * (len(adv) - 3)) + ["raw_media", "bogus",
+                                               "raw_text"]
+    # plus every payload the fixture generator can emit
+    fuzz = [s["text"] for d in make_documents(80, seed=101)
+            for s in d["spans"]]
+    texts = adv + fuzz
+    kinds = kinds + ["raw_text"] * len(fuzz)
+    flat = pd.DataFrame({"kind": kinds, "text": texts,
+                         "media_ref": ["m"] * len(texts),
+                         "offset": range(len(texts))})
+    dn, vn = decode_flat(flat)
+    do, vo = _decode_flat_pandas(flat)
+    assert (vn == vo).all()
+    rn, ro = dn.reset_index(drop=True), do.reset_index(drop=True)
+    for c in rn.columns:
+        a, b = rn[c], ro[c]
+        if a.dtype == np.float64:
+            assert (a.to_numpy().view("u8") == b.to_numpy().view("u8")).all(), c
+        else:
+            assert a.tolist() == b.tolist(), c
