@@ -40,29 +40,36 @@ _PAYLOAD_RE = (
 )
 
 
-def decode_flat(flat: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray]:
-    """Decode payloads; returns (decoded_valid_rows, valid_mask).
+def decode_flat(flat: pd.DataFrame) -> tuple[dict[str, np.ndarray],
+                                             np.ndarray]:
+    """Decode payloads; returns (dict of valid-row arrays, valid_mask).
 
     Fast path: one RE2 ``extract_regex`` over the whole batch plus
     Arrow casts — no per-row Python at all.  Rows the strict grammar
     rejects but that might still parse under CPython number semantics
     are re-decoded by ``_decode_flat_pandas`` (identical legacy
-    behavior); fixture corpora hit the fast path >99.9%.
+    behavior); fixture corpora hit the fast path >99.9%.  The output is
+    a plain column dict (not a DataFrame): block consolidation in the
+    DataFrame constructor measured ~15% of the whole kernel.
     """
-    n = len(flat)
+    kind_arr = np.asarray(flat["kind"], dtype=object)
+    text_arr = np.asarray(flat["text"], dtype=object)
+    mref_arr = np.asarray(flat["media_ref"], dtype=object)
+    off_arr = np.asarray(flat["offset"])
+    n = len(text_arr)
     if n == 0:
-        return flat.assign(page=np.array([], dtype=np.int64)), \
+        return {c: np.array([], dtype=object) for c in
+                ("page", "x0", "y0", "x1", "y1", "conf", "direction",
+                 "out_kind", "content", "out_media_ref", "offset")}, \
             np.zeros(0, bool)
 
-    text_pa = pa.array(flat["text"], type=pa.string(), from_pandas=True)
+    text_pa = pa.array(text_arr, type=pa.string(), from_pandas=True)
     notna = ~text_pa.is_null().to_numpy(zero_copy_only=False)
     ext = pc.extract_regex(text_pa, _PAYLOAD_RE)
     fast = ext.is_valid().to_numpy(zero_copy_only=False)
 
-    kind = flat["kind"].astype("object")
-    kind_text = (kind == "raw_text").to_numpy()
-    kind_media = (kind == "raw_media").to_numpy()
-    kind_ok = kind_text | kind_media
+    kind_media = kind_arr == "raw_media"
+    kind_ok = (kind_arr == "raw_text") | kind_media
 
     def _num(name: str, typ) -> np.ndarray:
         col = pc.struct_field(ext, name)
@@ -96,7 +103,9 @@ def decode_flat(flat: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray]:
         # arrow to_numpy can be zero-copy read-only; splicing needs rw
         page, x0, y0, x1, y1, conf = (a.copy() for a in
                                       (page, x0, y0, x1, y1, conf))
-        sub = flat.iloc[fb]
+        sub = pd.DataFrame({"kind": kind_arr[fb], "text": text_arr[fb],
+                            "media_ref": mref_arr[fb],
+                            "offset": off_arr[fb]})
         dec_sub, valid_sub = _decode_flat_pandas(sub)
         sub_idx = fb[valid_sub]
         if len(sub_idx):
@@ -111,16 +120,15 @@ def decode_flat(flat: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray]:
             content[sub_idx] = dec_sub["content"].to_numpy(dtype=object)
 
     out_kind = np.where(kind_media, "media", "text")
-    mref = flat["media_ref"].astype("object").to_numpy()
-    out_ref = np.where(kind_media, mref, None)
+    out_ref = np.where(kind_media, mref_arr, None)
 
-    dec = pd.DataFrame({
-        "page": page, "x0": x0, "y0": y0, "x1": x1, "y1": y1,
-        "conf": conf, "direction": direction, "out_kind": out_kind,
-        "content": content, "out_media_ref": out_ref,
-        "offset": flat["offset"].to_numpy(),
-    }, index=flat.index)
-    return dec[valid], valid
+    cols = {"page": page, "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+            "conf": conf, "direction": direction, "out_kind": out_kind,
+            "content": content, "out_media_ref": out_ref,
+            "offset": off_arr}
+    if valid.all():
+        return cols, valid
+    return {c: a[valid] for c, a in cols.items()}, valid
 
 
 def _decode_flat_pandas(flat: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray]:

@@ -16,9 +16,21 @@ import pandas as pd
 import pyarrow as pa
 
 from .decode import decode_flat
-from .layout import SMALL_PAGE, process_page, process_page_small
+from .layout import (MERGE_THRESHOLD, REMOVE_THRESHOLD, SMALL_PAGE,
+                     process_page, process_page_small, process_page_sparse)
 
-KERNEL_VERSION = "1.1.0"
+KERNEL_VERSION = "1.2.0"
+
+# upper-triangle (i<j, row-major) index cache per page size: the same
+# (i asc, j asc) visit order as the reference's nested loops
+_TRI_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _tri(n: int) -> tuple[np.ndarray, np.ndarray]:
+    got = _TRI_CACHE.get(n)
+    if got is None:
+        got = _TRI_CACHE[n] = np.triu_indices(n, k=1)
+    return got
 
 _METRIC_COLS = ("span_count_in", "span_count_out", "malformed",
                 "merged_away", "dedup_removed", "filtered")
@@ -35,9 +47,8 @@ def _extract_core(n_docs: int, counts: np.ndarray, kinds, texts, mrefs,
     total = int(counts.sum())
     doc_of = np.repeat(np.arange(n_docs), counts)
 
-    flat = pd.DataFrame({"kind": kinds, "text": texts, "media_ref": mrefs,
-                         "offset": offs})
-    dec, valid = decode_flat(flat)
+    dec, valid = decode_flat({"kind": kinds, "text": texts,
+                              "media_ref": mrefs, "offset": offs})
 
     metrics = {c: np.zeros(n_docs, np.int64) for c in _METRIC_COLS}
     metrics["span_count_in"] = counts.astype(np.int64)
@@ -50,23 +61,23 @@ def _extract_core(n_docs: int, counts: np.ndarray, kinds, texts, mrefs,
     out_ref: list[list] = [[] for _ in range(n_docs)]
     out_order: list[list] = [[] for _ in range(n_docs)]
 
-    if len(dec):
+    if len(dec["page"]):
         d_doc = doc_of[valid]
-        d_page = dec["page"].to_numpy()
-        d_off = dec["offset"].to_numpy()
+        d_page = dec["page"]
+        d_off = dec["offset"]
         # (doc, page) groups with within-page arrival = offset order
         order = np.lexsort((d_off, d_page, d_doc))
         d_doc = d_doc[order]
         d_page = d_page[order]
-        x0 = dec["x0"].to_numpy()[order]
-        y0 = dec["y0"].to_numpy()[order]
-        x1 = dec["x1"].to_numpy()[order]
-        y1 = dec["y1"].to_numpy()[order]
-        conf = dec["conf"].to_numpy()[order]
-        direction = dec["direction"].to_numpy(dtype=object)[order]
-        okind = dec["out_kind"].to_numpy(dtype=object)[order]
-        content = dec["content"].to_numpy(dtype=object)[order]
-        oref = dec["out_media_ref"].to_numpy(dtype=object)[order]
+        x0 = dec["x0"][order]
+        y0 = dec["y0"][order]
+        x1 = dec["x1"][order]
+        y1 = dec["y1"][order]
+        conf = dec["conf"][order]
+        direction = dec["direction"][order]
+        okind = dec["out_kind"][order]
+        content = dec["content"][order]
+        oref = dec["out_media_ref"][order]
 
         # group boundaries where (doc, page) changes
         change = np.empty(len(d_doc), bool)
@@ -75,7 +86,73 @@ def _extract_core(n_docs: int, counts: np.ndarray, kinds, texts, mrefs,
         starts = np.nonzero(change)[0]
         ends = np.append(starts[1:], len(d_doc))
 
-        # primitive-list views for the small-page fast path (one C pass
+        # ---- batched pairwise candidates over all small pages --------
+        # The O(n^2) merge (J3) and dedupe (J2) PREDICATES are pure
+        # float math -> computed here once for every (i<j) pair of every
+        # small page as flat numpy arrays (same expressions as
+        # layout._ratio_smaller_matrix/_ratio_own_matrix).  Only the
+        # order-dependent greedy STATE MACHINES stay per-page, and they
+        # now touch just the candidate pairs:
+        #  - pages with zero merge candidates (the vast majority) take
+        #    process_page_sparse (no merge pass at all, sparse dedupe);
+        #  - pages with a merge candidate keep the exact legacy loop
+        #    (merged geometry invalidates precomputed dedupe pairs).
+        sizes = ends - starts
+        merge_map: dict[int, list[tuple[int, int]]] = {}
+        dd_map: dict[int, list[tuple[int, int]]] = {}
+        pairable = np.nonzero((sizes >= 2) & (sizes <= SMALL_PAGE))[0]
+        if len(pairable):
+            pi_parts = []; pj_parts = []; li_parts = []; lj_parts = []
+            n_pairs = np.empty(len(pairable), np.int64)
+            for k, g in enumerate(pairable):
+                ti, tj = _tri(int(sizes[g]))
+                s = starts[g]
+                pi_parts.append(ti + s); pj_parts.append(tj + s)
+                li_parts.append(ti); lj_parts.append(tj)
+                n_pairs[k] = len(ti)
+            PI = np.concatenate(pi_parts); PJ = np.concatenate(pj_parts)
+            LI = np.concatenate(li_parts); LJ = np.concatenate(lj_parts)
+            pair_off = np.concatenate(([0], np.cumsum(n_pairs)))
+
+            area = (x1 - x0) * (y1 - y0)
+            is_text = okind == "text"
+            dcode = pd.factorize(direction)[0]
+
+            il = np.maximum(x0[PI], x0[PJ]); it = np.maximum(y0[PI], y0[PJ])
+            ir = np.minimum(x1[PI], x1[PJ]); ib = np.minimum(y1[PI], y1[PJ])
+            strict = (il < ir) & (it < ib)
+            inter = (ir - il) * (ib - it)
+            ai = area[PI]; aj = area[PJ]
+            smaller = np.minimum(ai, aj)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio_sm = np.where(strict & (smaller > 0),
+                                    inter / smaller, 0.0)
+                own_i = np.where(strict & (ai != 0), inter / ai, 0.0)
+                own_j = np.where(strict & (aj != 0), inter / aj, 0.0)
+            merge_cand = ((ratio_sm >= MERGE_THRESHOLD) & is_text[PI]
+                          & is_text[PJ] & (dcode[PI] == dcode[PJ]))
+            dd_ij = (own_i >= REMOVE_THRESHOLD) & (ai < aj)
+            dd_ji = (own_j >= REMOVE_THRESHOLD) & (aj < ai)
+
+            mg = np.nonzero(merge_cand)[0]
+            if len(mg):
+                gs = np.searchsorted(pair_off, mg, side="right") - 1
+                for k, g in zip(mg, gs):
+                    merge_map.setdefault(int(pairable[g]), []).append(
+                        (int(LI[k]), int(LJ[k])))
+            dd = np.nonzero(dd_ij | dd_ji)[0]
+            if len(dd):
+                gs = np.searchsorted(pair_off, dd, side="right") - 1
+                ij = dd_ij[dd]
+                for pos, (k, g) in enumerate(zip(dd, gs)):
+                    gg = int(pairable[g])
+                    if gg in merge_map:
+                        continue
+                    pair = (int(LI[k]), int(LJ[k])) if ij[pos] \
+                        else (int(LJ[k]), int(LI[k]))
+                    dd_map.setdefault(gg, []).append(pair)
+
+        # primitive-list views for the small-page fast paths (one C pass
         # each; per-page numpy dispatch dominates at n~20)
         x0_l = x0.tolist(); y0_l = y0.tolist()
         x1_l = x1.tolist(); y1_l = y1.tolist()
@@ -83,13 +160,20 @@ def _extract_core(n_docs: int, counts: np.ndarray, kinds, texts, mrefs,
         dir_l = direction.tolist(); kind_l = okind.tolist()
         text_l = content.tolist(); ref_l = oref.tolist()
 
-        for s, e in zip(starts, ends):
+        for gi, (s, e) in enumerate(zip(starts, ends)):
             di = int(d_doc[s])
             if e - s <= SMALL_PAGE:
-                ks, ts, rs, orders, st = process_page_small(
-                    x0_l[s:e], y0_l[s:e], x1_l[s:e], y1_l[s:e],
-                    conf_l[s:e], dir_l[s:e], kind_l[s:e], text_l[s:e],
-                    ref_l[s:e])
+                mc = merge_map.get(gi)
+                if mc is not None:
+                    ks, ts, rs, orders, st = process_page_small(
+                        x0_l[s:e], y0_l[s:e], x1_l[s:e], y1_l[s:e],
+                        conf_l[s:e], dir_l[s:e], kind_l[s:e], text_l[s:e],
+                        ref_l[s:e], merge_cands=mc)
+                else:
+                    ks, ts, rs, orders, st = process_page_sparse(
+                        x0_l[s:e], y0_l[s:e], x1_l[s:e], y1_l[s:e],
+                        conf_l[s:e], dir_l[s:e], kind_l[s:e], text_l[s:e],
+                        ref_l[s:e], dd_map.get(gi, ()))
             else:
                 ks, ts, rs, orders, st = process_page(
                     x0[s:e], y0[s:e], x1[s:e], y1[s:e], conf[s:e],

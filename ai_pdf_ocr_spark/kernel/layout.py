@@ -108,7 +108,7 @@ SMALL_PAGE = 64
 
 
 def process_page_small(x0, y0, x1, y1, conf, direction, kind, text,
-                       media_ref):
+                       media_ref, merge_cands=None):
     """Pure-Python fast path for small pages (n <= ~64).
 
     At typical page sizes (10-40 blocks) numpy's per-call dispatch on
@@ -117,6 +117,13 @@ def process_page_small(x0, y0, x1, y1, conf, direction, kind, text,
     and the oracle is trivial: identical IEEE doubles, identical
     expression order, and CPython's stable list.sort.  Args are plain
     Python lists.
+
+    ``merge_cands`` (optional): precomputed merge-candidate pairs
+    (i<j arrival-order local indices passing the J3 predicate,
+    batch-vectorized in extract.py).  When given, the O(n^2) merge scan
+    collapses to a walk over those pairs — the greedy used-state
+    semantics are identical because candidates arrive in the same
+    (i asc, j asc) order the nested loop visits.
     """
     n = len(x0)
     stats = {"merged_away": 0, "dedup_removed": 0, "filtered": 0}
@@ -128,7 +135,38 @@ def process_page_small(x0, y0, x1, y1, conf, direction, kind, text,
                       media_ref))
 
     # ---- merge (J3), /root/reference/text_block_sorter.py:178-240 ----
-    if n > 1:
+    if n > 1 and merge_cands is not None:
+        cand_js: dict[int, list[int]] = {}
+        for i, j in merge_cands:
+            cand_js.setdefault(i, []).append(j)
+        merged = []
+        used = [False] * n
+        for i in range(n):
+            if used[i]:
+                continue
+            used[i] = True
+            js = cand_js.get(i)
+            cand = None
+            if js is not None:
+                for j in js:
+                    if not used[j]:
+                        if cand is None:
+                            cand = [blocks[i]]
+                        cand.append(blocks[j])
+                        used[j] = True
+            if cand is None:
+                merged.append(blocks[i])
+            else:
+                base = max(cand, key=lambda b: b[4])
+                longest = max(cand, key=lambda b: len(b[7]))[7]
+                conf_m = sum(b[4] for b in cand) / len(cand)
+                merged.append((min(b[0] for b in cand),
+                               min(b[1] for b in cand),
+                               max(b[2] for b in cand),
+                               max(b[3] for b in cand),
+                               conf_m, base[5], "text", longest, None))
+        stats["merged_away"] = n - len(merged)
+    elif n > 1:
         merged = []
         used = [False] * n
         for i in range(n):
@@ -258,6 +296,122 @@ def process_page_small(x0, y0, x1, y1, conf, direction, kind, text,
         stats["dedup_removed"] = sum(removed)
 
     # ---- sink filters: text spans only ----
+    kinds, texts, refs, orders = [], [], [], []
+    for a in range(k):
+        if removed[a]:
+            continue
+        b = final[a]
+        if b[6] == "text":
+            t = b[7]
+            if not t.strip():
+                stats["filtered"] += 1
+                continue
+            if (b[2] - b[0]) * PT_SCALE < 1 or (b[3] - b[1]) * PT_SCALE < 1:
+                stats["filtered"] += 1
+                continue
+        kinds.append(b[6])
+        texts.append(b[7])
+        refs.append(b[8])
+        orders.append(a + 1)
+    return kinds, texts, refs, orders, stats
+
+
+def process_page_sparse(x0, y0, x1, y1, conf, direction, kind, text,
+                        media_ref, dd_cands):
+    """Fast path for pages with NO merge-candidate pairs (the vast
+    majority): merge is a no-op by construction, and duplicate-removal
+    candidates arrive precomputed (``dd_cands``: arrival-order local
+    index pairs (small, large) with own-ratio >= REMOVE_THRESHOLD and
+    area_small < area_large, batch-vectorized in extract.py).  Only the
+    greedy state machine — which is order-dependent and cannot be
+    vectorized (SURVEY.md §2.5) — runs per page, over the handful of
+    candidate pairs instead of all n^2.
+
+    Bit-parity with process_page_small: identical sort expressions, and
+    the dedupe scan consumes candidates in the same (i asc, j asc)
+    sorted-position order as the full O(n^2) loop.
+    """
+    n = len(x0)
+    stats = {"merged_away": 0, "dedup_removed": 0, "filtered": 0}
+    if n == 0:
+        return [], [], [], [], stats
+
+    # block tuple: (x0, y0, x1, y1, conf, direction, kind, text, ref, idx)
+    blocks = list(zip(x0, y0, x1, y1, conf, direction, kind, text,
+                      media_ref, range(n)))
+
+    vert = [b for b in blocks if b[5] == "vertical"]
+    horiz = [b for b in blocks if b[5] == "horizontal"]
+
+    def _sort_v(bs):
+        cols = []
+        for b in bs:
+            for col in cols:
+                s = col[0]
+                lo = b[0] if b[0] > s[0] else s[0]
+                hi = b[2] if b[2] < s[2] else s[2]
+                ov = hi - lo
+                if ov < 0:
+                    ov = 0
+                if ov >= (b[2] - b[0]) * 0.5 or ov >= (s[2] - s[0]) * 0.5:
+                    col.append(b)
+                    break
+            else:
+                cols.append([b])
+        for col in cols:
+            col.sort(key=lambda b: b[1])
+        cols.sort(key=lambda col: -((col[0][0] + col[0][2]) / 2))
+        return [b for col in cols for b in col]
+
+    def _sort_h(bs):
+        rows = []
+        for b in bs:
+            for row in rows:
+                s = row[0]
+                lo = b[1] if b[1] > s[1] else s[1]
+                hi = b[3] if b[3] < s[3] else s[3]
+                ov = hi - lo
+                if ov < 0:
+                    ov = 0
+                if ov >= (b[3] - b[1]) * 0.5 or ov >= (s[3] - s[1]) * 0.5:
+                    row.append(b)
+                    break
+            else:
+                rows.append([b])
+        for row in rows:
+            row.sort(key=lambda b: b[0])
+        rows.sort(key=lambda row: (row[0][1] + row[0][3]) / 2)
+        return [b for row in rows for b in row]
+
+    if vert and horiz:
+        v_top = min(b[1] for b in vert)
+        h_top = min(b[1] for b in horiz)
+        final = _sort_v(vert) + _sort_h(horiz) if v_top <= h_top \
+            else _sort_h(horiz) + _sort_v(vert)
+    elif vert:
+        final = _sort_v(vert)
+    else:
+        final = _sort_h(horiz)
+
+    k = len(final)
+    removed = [False] * k
+    if dd_cands:
+        pos_of = {b[9]: p for p, b in enumerate(final)}
+        # directed candidates in sorted coordinates, grouped per small
+        by_small: dict[int, list[int]] = {}
+        for sm, lg in dd_cands:
+            ps = pos_of.get(sm)
+            pl = pos_of.get(lg)
+            if ps is not None and pl is not None:
+                by_small.setdefault(ps, []).append(pl)
+        for i in sorted(by_small):
+            # the full scan visits j ascending; first surviving j wins
+            for j in sorted(by_small[i]):
+                if not removed[j]:
+                    removed[i] = True
+                    break
+        stats["dedup_removed"] = sum(removed)
+
     kinds, texts, refs, orders = [], [], [], []
     for a in range(k):
         if removed[a]:

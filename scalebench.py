@@ -30,7 +30,11 @@ import time
 N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "192000"))
 LEVELS = (2, 8, 32)
 PAIRS = ((2, 8), (8, 32))
-MEASURE_RUNS = 3
+# this sandbox shows multi-minute transient load swings (same config
+# varies up to 2x run-over-run); each level therefore takes the best
+# of MEASURE_RUNS spread over a few minutes — the minimum approximates
+# the unloaded machine, which is what a dedicated cluster would see
+MEASURE_RUNS = 8
 
 
 def _calibrate(n: int) -> float:

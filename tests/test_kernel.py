@@ -121,10 +121,10 @@ def test_decode_fast_path_matches_legacy_pandas():
     dn, vn = decode_flat(flat)
     do, vo = _decode_flat_pandas(flat)
     assert (vn == vo).all()
-    rn, ro = dn.reset_index(drop=True), do.reset_index(drop=True)
-    for c in rn.columns:
-        a, b = rn[c], ro[c]
+    for c, a in dn.items():
+        b = do[c].to_numpy() if c != "direction" \
+            else do[c].to_numpy(dtype=object)
         if a.dtype == np.float64:
-            assert (a.to_numpy().view("u8") == b.to_numpy().view("u8")).all(), c
+            assert (a.view("u8") == b.view("u8")).all(), c
         else:
-            assert a.tolist() == b.tolist(), c
+            assert list(a) == list(b), c
