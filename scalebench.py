@@ -113,8 +113,6 @@ def main() -> None:
         worker(int(sys.argv[2]), N_DOCS)
         return
 
-    calib = {n: round(_calibrate(n), 1) for n in LEVELS}
-
     # pre-materialize the corpus at full parallelism so the low-level
     # workers don't pay generation cost
     from ai_pdf_ocr_spark.engine.session import build_session
@@ -126,8 +124,14 @@ def main() -> None:
     ensure_corpus(s, N_DOCS)
     s.stop()
 
+    # raw-CPU calibration is BRACKETED around each level's worker (this
+    # box is shared: one loaded window during a level would otherwise
+    # silently skew the pair ratio); per-level hw capacity = mean of the
+    # before/after probes at that level's parallelism
     results: dict[int, dict] = {}
+    calib: dict[int, float] = {}
     for cpus in LEVELS:
+        c_before = _calibrate(cpus)
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker",
@@ -140,6 +144,8 @@ def main() -> None:
         line = [ln for ln in out.stdout.splitlines()
                 if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
+        c_after = _calibrate(cpus)
+        calib[cpus] = round((c_before + c_after) / 2, 1)
 
     pairs = {}
     for lo, hi in PAIRS:
