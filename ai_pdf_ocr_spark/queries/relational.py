@@ -409,3 +409,85 @@ def w_lag_gap_sessions(spark, sf_dir):
              .cast("long").alias("n_sessions"),
              F.count("*").alias("n_events"))
     )
+
+
+@register("p5_tiny_box_filter", sql="""
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(p_size) AS BIGINT) AS total_size
+FROM part WHERE p_size * 72.0 / 200.0 >= 1
+GROUP BY p_brand ORDER BY p_brand
+""")
+def p5_tiny_box_filter(spark, sf_dir):
+    """Sub-point extent filter (P5,
+    /root/reference/pdf_processor.py:148-150: scaled width/height < 1pt
+    dropped) as a pushdown-able numeric predicate."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_size") * 72.0 / 200.0 >= 1)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_kept"),
+             F.sum("p_size").cast("long").alias("total_size"))
+        .orderBy("p_brand")
+    )
+
+
+@register("p11_baseline_offset", sql="""
+SELECT event_type,
+       ROUND(AVG(value + GREATEST(LEAST(value * 0.8, 12), 6)), 4)
+         AS avg_baseline
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def p11_baseline_offset(spark, sf_dir):
+    """Baseline-offset projection (P11,
+    /root/reference/pdf_processor.py:161: text_y = y0 + font_size),
+    composed with the F6 clamp."""
+    e = load(spark, sf_dir, "events")
+    fs = F.greatest(F.least(F.col("value") * 0.8, F.lit(12.0)), F.lit(6.0))
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(F.avg(F.col("value") + fs), 4).alias("avg_baseline"))
+        .orderBy("event_type")
+    )
+
+
+@register("a3_avg_empty_guard", sql="""
+SELECT user_id,
+       ROUND(COALESCE(AVG(CASE WHEN event_type = 'error' THEN value END),
+                      0.0), 4) AS avg_error_value,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors
+FROM events GROUP BY user_id ORDER BY user_id
+""")
+def a3_avg_empty_guard(spark, sf_dir):
+    """Mean with explicit empty-group guard (A3,
+    /root/reference/data_structures.py:129-134: average confidence,
+    0.0 when the page has no blocks)."""
+    e = load(spark, sf_dir, "events")
+    err_val = F.when(F.col("event_type") == "error", F.col("value"))
+    return (
+        e.groupBy("user_id")
+        .agg(F.round(F.coalesce(F.avg(err_val), F.lit(0.0)), 4)
+             .alias("avg_error_value"),
+             F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+             .cast("long").alias("n_errors"))
+        .orderBy("user_id")
+    )
+
+
+@register("f10_name_format", sql="""
+SELECT doc_id,
+       CONCAT('doc-', LPAD(CAST(doc_id AS VARCHAR), 8, '0'),
+              '_ocr_results.json') AS ckpt_name
+FROM documents WHERE doc_id < 20 ORDER BY doc_id
+""")
+def f10_name_format(spark, sf_dir):
+    """Checkpoint/lineage-key formatting (F10,
+    /root/reference/main.py:117-121,368: '{stem}_ocr_results.json')."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("doc_id") < 20)
+        .select("doc_id",
+                F.format_string("doc-%08d_ocr_results.json",
+                                F.col("doc_id")).alias("ckpt_name"))
+        .orderBy("doc_id")
+    )

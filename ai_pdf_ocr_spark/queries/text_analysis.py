@@ -130,3 +130,66 @@ def text_fingerprint(spark, sf_dir):
                                        r"\s+", " ")).alias("fingerprint"))
         .orderBy("doc_id")
     )
+
+
+_BPE_RE_SPARK = r" ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\s]+"
+_BPE_RE_DUCK = r" ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\s]+"
+
+
+@register("text_token_count_bpe", sql=f"""
+SELECT lang,
+       CAST(SUM(LENGTH(regexp_extract_all(text, '{_BPE_RE_DUCK}')))
+            AS BIGINT) AS total_bpe_tokens,
+       ROUND(AVG(LENGTH(regexp_extract_all(text, '{_BPE_RE_DUCK}'))), 4)
+         AS avg_bpe_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+""")
+def text_token_count_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenizer counting (GPT-2-style split: letter runs,
+    digit runs, punctuation runs, each with optional leading space) —
+    the second tokenizer the training-data layer needs besides
+    whitespace; both engines run the same RE2-compatible pattern."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE_SPARK), 0))
+    return (
+        d.select("lang", n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.sum("n_tok").cast("long").alias("total_bpe_tokens"),
+             F.round(F.avg("n_tok"), 4).alias("avg_bpe_tokens"),
+             F.count("*").alias("n_docs"))
+    )
+
+
+_SHINGLE_K = 8
+
+
+@register("text_fingerprint_winnow", sql=f"""
+SELECT doc_id,
+       LIST_MIN([MD5(SUBSTR(text, CAST(i AS INT), {_SHINGLE_K}))
+                 FOR i IN GENERATE_SERIES(1,
+                     GREATEST(LENGTH(text) - {_SHINGLE_K - 1}, 1))])
+         AS winnow_min,
+       CAST(GREATEST(LENGTH(text) - {_SHINGLE_K - 1}, 1) AS BIGINT)
+         AS n_windows
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+""")
+def text_fingerprint_winnow(spark, sf_dir):
+    """Rolling-hash document fingerprint (winnowing-style): hash every
+    k-char window, keep the minimum — robust to small edits, unlike the
+    whole-document md5 in ``text_fingerprint``.  Pure array HOFs: the
+    window hashes never leave the JVM and nothing is exploded."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    idx = F.sequence(F.lit(1),
+                     F.greatest(F.length("text") - (_SHINGLE_K - 1),
+                                F.lit(1)))
+    hashes = F.transform(
+        idx, lambda i: F.md5(F.encode(F.col("text").substr(
+            i, F.lit(_SHINGLE_K)), "utf-8")))
+    return (
+        d.select("doc_id",
+                 F.array_min(hashes).alias("winnow_min"),
+                 F.greatest(F.length("text") - (_SHINGLE_K - 1), F.lit(1))
+                 .cast("long").alias("n_windows"))
+        .orderBy("doc_id")
+    )
