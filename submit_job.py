@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the extraction pipeline (north_rule:
+``spark-submit --py-files`` launch on a multi-executor cluster).
+
+Package and launch::
+
+    python package_pyfiles.py                       # -> dist/ai_pdf_ocr_spark.zip
+    spark-submit --master <cluster> \\
+        --py-files dist/ai_pdf_ocr_spark.zip \\
+        submit_job.py --input /data/documents --output /data/out \\
+        --run-id nightly-01 --partitions 4096
+
+The job is checkpointed and resumable: rerunning with the same
+``--run-id`` and ``--output`` skips every bin with a committed lineage
+row (engine/checkpoint.py).  The master, executor count, and memory
+come from spark-submit — the job never hardcodes a master, so the same
+invocation runs on local[N], YARN, or k8s.
+
+``--generate N`` synthesizes the deterministic interleaved corpus on
+the executors instead of reading ``--input`` (demo / bench runs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", help="parquet path of documents(doc_id, spans)")
+    p.add_argument("--generate", type=int, default=0,
+                   help="synthesize N docs on the executors instead of "
+                        "reading --input")
+    p.add_argument("--output", required=True,
+                   help="table-store root (documents_extracted/ + "
+                        "checkpoint/ land here)")
+    p.add_argument("--run-id", required=True,
+                   help="resume key: reruns with the same run-id skip "
+                        "committed bins")
+    p.add_argument("--partitions", type=int, default=0,
+                   help="extraction bins (default: 2x defaultParallelism)")
+    p.add_argument("--buckets", type=int, default=4096,
+                   help="salt buckets for the weight profile")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    if not args.input and not args.generate:
+        print("error: one of --input / --generate is required",
+              file=sys.stderr)
+        return 2
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("ai-pdf-ocr-spark-extract") \
+        .getOrCreate()
+    # runtime-settable scale configs (cluster-level ones — executor
+    # memory, shuffle service — belong on the spark-submit line)
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.sparkContext.setLogLevel("WARN")
+
+    from ai_pdf_ocr_spark.engine.checkpoint import run_extraction
+    from ai_pdf_ocr_spark.engine.io import TableStore
+
+    if args.generate:
+        from ai_pdf_ocr_spark.flagship import synthetic_documents_distributed
+        documents = synthetic_documents_distributed(
+            spark, args.generate, heavy_tail_frac=0.02)
+    else:
+        documents = spark.read.parquet(args.input).select("doc_id", "spans")
+
+    p = args.partitions or 2 * spark.sparkContext.defaultParallelism
+    store = TableStore(spark, args.output)
+    summary = run_extraction(spark, documents, store, args.run_id, p,
+                             buckets=args.buckets)
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
