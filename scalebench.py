@@ -52,6 +52,165 @@ def _burn(_):
     return x
 
 
+CLUSTER_LEVELS = ((1, 2), (4, 2))  # (executors, cores_each): N -> 4N
+CLUSTER_MEASURE_RUNS = 8
+
+
+def worker_cluster(executors: int, cores: int, n_docs: int) -> None:
+    """Same frozen job on a local-cluster master: SEPARATE executor
+    JVMs with real inter-process (Netty) shuffle and addPyFile code
+    distribution — the in-sandbox stand-in for 'N vs 4N executors on a
+    multi-executor cluster' (north_rule), run in the hardware's linear
+    core range (2 vs 8 total cores)."""
+    import subprocess as sp
+
+    from pyspark.sql import SparkSession, functions as F
+
+    zip_path = sp.run([sys.executable, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "package_pyfiles.py")],
+        capture_output=True, text=True).stdout.strip()
+    total = executors * cores
+    spark = (
+        SparkSession.builder.appName(f"scalebench-lc-{executors}x{cores}")
+        .master(f"local-cluster[{executors},{cores},3072]")
+        .config("spark.executor.memory", "2g")
+        .config("spark.sql.shuffle.partitions", str(total))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.addPyFile(zip_path)
+
+    from ai_pdf_ocr_spark.engine.partitioning import (compute_assignment,
+                                                      weighted_repartition)
+    from ai_pdf_ocr_spark.engine.pipeline import extract_documents
+
+    from bench import ensure_corpus
+
+    path = ensure_corpus(spark, n_docs)
+    docs = spark.read.parquet(path)
+    docs.count()
+    assignment = compute_assignment(docs, total)
+    base = extract_documents(weighted_repartition(
+        docs, total, assignment=assignment))
+
+    def run_once():
+        t0 = time.monotonic()
+        out = base.agg(F.count("*").alias("docs")).collect()[0]
+        return time.monotonic() - t0, out.docs
+
+    best = None
+    prev = None
+    warms = 0
+    for _ in range(4):
+        dt, n = run_once()
+        warms += 1
+        if best is None or dt < best[0]:
+            best = (dt, n)
+        if prev is not None and abs(dt - prev) / prev < 0.10:
+            break
+        prev = dt
+    for _ in range(CLUSTER_MEASURE_RUNS):
+        dt, n = run_once()
+        if dt < best[0]:
+            best = (dt, n)
+    dt, n = best
+    print(json.dumps({"executors": executors, "cores_each": cores,
+                      "total_cores": total, "wall_s": round(dt, 3),
+                      "warmup_runs": warms, "docs": n,
+                      "docs_per_sec": round(n / dt, 1)}))
+    spark.stop()
+
+
+def main_cluster(update_baseline: bool) -> None:
+    from ai_pdf_ocr_spark.engine.session import build_session
+
+    from bench import ensure_corpus
+    s = build_session(app="scalebench-gen", master="local[32]",
+                      shuffle_partitions=32)
+    s.sparkContext.setLogLevel("ERROR")
+    ensure_corpus(s, N_DOCS)
+    s.stop()
+
+    results = {}
+    calib = {}
+    for ex, cores in CLUSTER_LEVELS:
+        total = ex * cores
+        c_before = _calibrate(total)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--cluster-worker", str(ex), str(cores)],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise SystemExit(f"cluster worker {ex}x{cores} failed")
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        results[ex] = json.loads(line)
+        calib[total] = round((c_before + _calibrate(total)) / 2, 1)
+
+    (lo, lc), (hi, hc) = CLUSTER_LEVELS
+    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) \
+        / (hi / lo)
+    hw = (calib[hi * hc] / calib[lo * lc]) / (hi / lo)
+    summary = {
+        "metric": "extraction scaling efficiency (N -> 4N executor JVMs)",
+        "n_docs": N_DOCS,
+        "levels": results,
+        "cpu_calibration_Mops": calib,
+        "scaling_efficiency": round(eff, 3),
+        "hw_ceiling": round(hw, 3),
+        "vs_ceiling": round(eff / hw, 3) if hw else None,
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+    if update_baseline:
+        _update_baseline_cluster(summary)
+
+
+def _update_baseline_cluster(s: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE.md")
+    with open(path) as f:
+        text = f.read()
+    marker = "## Measured scaling (separate executor JVMs)"
+    lo = s["levels"][str(CLUSTER_LEVELS[0][0])] \
+        if str(CLUSTER_LEVELS[0][0]) in s["levels"] \
+        else s["levels"][CLUSTER_LEVELS[0][0]]
+    hi = s["levels"][str(CLUSTER_LEVELS[1][0])] \
+        if str(CLUSTER_LEVELS[1][0]) in s["levels"] \
+        else s["levels"][CLUSTER_LEVELS[1][0]]
+    block = f"""{marker}
+
+The same frozen job on a ``local-cluster[N,2,3072]`` master — N
+SEPARATE executor JVMs, real inter-process (Netty) shuffle, code
+shipped via addPyFile — the in-sandbox stand-in for the north_rule's
+"N and 4N executors", kept in the hardware's linear core range.
+
+| executors | total cores | wall (s) | docs/sec |
+|---|---|---|---|
+| {CLUSTER_LEVELS[0][0]} | {lo['total_cores']} | {lo['wall_s']} | {lo['docs_per_sec']} |
+| {CLUSTER_LEVELS[1][0]} | {hi['total_cores']} | {hi['wall_s']} | {hi['docs_per_sec']} |
+
+1 -> 4 executor scaling efficiency: **{s['scaling_efficiency']}**
+(hw ceiling {s['hw_ceiling']}, engine/ceiling {s['vs_ceiling']}).
+Target >= 0.8: {'PASS' if s['pass'] else 'FAIL'}.
+"""
+    if marker in text:
+        idx = text.index(marker)
+        nxt = text.find("\n## ", idx + 1)
+        tail = text[nxt:] if nxt != -1 else ""
+        text = text[:idx] + block + tail
+    else:
+        text = text.rstrip() + "\n\n" + block
+    with open(path, "w") as f:
+        f.write(text)
+
+
 def worker(cpus: int, n_docs: int) -> None:
     from pyspark.sql import functions as F
 
@@ -111,6 +270,12 @@ def worker(cpus: int, n_docs: int) -> None:
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), N_DOCS)
+        return
+    if len(sys.argv) >= 4 and sys.argv[1] == "--cluster-worker":
+        worker_cluster(int(sys.argv[2]), int(sys.argv[3]), N_DOCS)
+        return
+    if "--cluster" in sys.argv:
+        main_cluster("--update-baseline" in sys.argv)
         return
 
     # pre-materialize the corpus at full parallelism so the low-level
