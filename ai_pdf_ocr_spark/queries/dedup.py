@@ -51,7 +51,7 @@ def dedup_exact(spark, sf_dir):
 
 
 # -------------------------------------------------- n-gram Jaccard
-@register("dedup_ngram_jaccard", sql="""
+_JACCARD_SQL = """
 WITH tok AS (
   SELECT doc_id, lang, UNNEST(LIST_DISTINCT(
            LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
@@ -69,47 +69,103 @@ SELECT d1, d2, ROUND(CAST(c AS DOUBLE) / (s1.sz + s2.sz - c), 4) AS jaccard
 FROM common JOIN sizes s1 ON s1.doc_id = d1
             JOIN sizes s2 ON s2.doc_id = d2
 WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.5
-""")
-def dedup_ngram_jaccard(spark, sf_dir):
-    """Token-set Jaccard near-dup pairs (blocked by lang, threshold 0.5).
+"""
 
-    Candidate pairs come from an inverted-index join on shared tokens —
-    the standard scalable formulation (only docs sharing >=1 token are
-    ever compared; the token join is the shuffle).
 
-    Measured alternative (rejected): a lang-blocked dense pair join
-    with JVM-side ``array_intersect`` looked cheaper on paper for this
-    corpus's tiny vocabulary (31 distinct tokens -> Σdf² = 115M token-
-    join rows vs 2.5M dense pairs at sf0.1), but ran 4x SLOWER (86s vs
-    20s at local[32]) — per-pair array materialization costs more than
-    shuffling skinny (tok, doc) rows through a count agg.  At 10^12
-    docs neither exact method runs corpus-wide: MinHash-LSH
-    (``dedup_minhash_lsh``) generates candidates and an exact check
-    verifies only those."""
-    d = load(spark, sf_dir, "documents")
+def token_masks(spark, d, n_salt=None):
+    """(doc_id, lang, p, sz, m0..m{C-1}): each doc's distinct-token set
+    as C=ceil(|vocab|/64) bitmask longs plus a salt partition ``p``.
+
+    The vocabulary gets dense ids once (distinct tokens -> row_number;
+    the single-partition window and the one driver-side ``count()`` are
+    both O(|vocab|), a metadata-sized job — same class as the bounded
+    collects in engine/partitioning.py).  Token->id is a broadcast join
+    (never a per-row literal map, CLAUDE.md perf trap #1)."""
+    from pyspark.sql import Window
+
     tok = d.select("doc_id", "lang",
                    F.explode(F.array_distinct(_tokens(F.col("text"))))
                    .alias("tok"))
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    common = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok"))
-               & (F.col("a.lang") == F.col("b.lang"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"),
-                 F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("c"))
-    )
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
-    jac = F.col("c").cast("double") / (F.col("s1.sz") + F.col("s2.sz")
-                                       - F.col("c"))
+    vocab_df = tok.select("tok").distinct().persist()
+    n_vocab = vocab_df.count()  # bounded: |vocab| rows
+    n_chunks = max(1, (n_vocab + 63) // 64)
+    vocab = vocab_df.select(
+        "tok", (F.row_number().over(Window.orderBy("tok")) - 1).alias("tid"))
+    mask_aggs = [
+        F.bit_or(
+            F.when(F.floor(F.col("tid") / 64) == c,
+                   F.expr("shiftleft(CAST(1 AS BIGINT), "
+                          "CAST(tid % 64 AS INT))"))
+            .otherwise(F.lit(0).cast("long"))).alias(f"m{c}")
+        for c in range(n_chunks)
+    ]
+    masks = (tok.join(F.broadcast(vocab), "tok")
+             .groupBy("doc_id", "lang")
+             .agg(F.count("*").alias("sz"), *mask_aggs))
+    if n_salt:
+        masks = masks.withColumn(
+            "p", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).cast("int"))
+    return masks, n_chunks
+
+
+def _mask_jaccard(left, right, n_chunks):
+    inter = None
+    for c in range(n_chunks):
+        t = F.bit_count(F.col(f"l.m{c}").bitwiseAND(F.col(f"r.m{c}")))
+        inter = t if inter is None else inter + t
+    union = F.col("l.sz") + F.col("r.sz") - inter
+    return inter.cast("double") / union
+
+
+_JACCARD_SALT = 8  # triangle-join fan: S*(S+1)/2 keys per lang block
+
+
+@register("dedup_ngram_jaccard", sql=_JACCARD_SQL)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs (blocked by lang, threshold 0.5).
+
+    Exact all-pairs within a lang block, with two scale defenses:
+
+    1. **Bitmask token sets.** Each doc's distinct tokens become
+       ceil(|vocab|/64) bitmask longs via a broadcast vocab join; the
+       per-pair cost is AND+popcount over longs inside whole-stage
+       codegen.  Replaces the r1 token inverted-index join whose
+       shuffle was Σ df² over tokens (115M rows, 23.6s = 68% of the
+       bench at sf0.1 — VERDICT r1); now the pair join shuffles n
+       skinny mask rows per side.
+    2. **Triangle salting.** A lang-only equi-join hash-partitions on
+       5 lang keys, so one task computes a whole block's n²/2 pairs.
+       Each doc gets p = hash(doc_id) % S; the left side replicates to
+       keys (p, q>=p), the right to (q<=p, p), so every unordered pair
+       lands on exactly one of the S(S+1)/2 sub-keys per lang — skew
+       becomes 36-way parallel instead of 1 task per lang.
+
+    Exact all-pairs is still Ω(n²/S) per block by definition — at 10^12
+    docs use ``dedup_jaccard_verified`` (MinHash-LSH candidates ->
+    exact bitmask verify on candidates only, same predicate)."""
+    d = load(spark, sf_dir, "documents")
+    masks, n_chunks = token_masks(spark, d, n_salt=_JACCARD_SALT)
+    cols = ["doc_id", "lang", "sz"] + [f"m{c}" for c in range(n_chunks)]
+    left = masks.select(
+        *cols, F.col("p").alias("kp"),
+        F.explode(F.sequence(F.col("p"), F.lit(_JACCARD_SALT - 1)))
+        .alias("kq")).alias("l")
+    right = masks.select(
+        *cols, F.col("p").alias("kq"),
+        F.explode(F.sequence(F.lit(0), F.col("p"))).alias("kp")).alias("r")
+    jac = _mask_jaccard(left, right, n_chunks)
+    pair_once = (F.col("l.kp") < F.col("r.kq")) | \
+        (F.col("l.doc_id") < F.col("r.doc_id"))
     return (
-        common.join(s1, F.col("d1") == F.col("s1.doc_id"))
-        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        left.join(right,
+                  (F.col("l.lang") == F.col("r.lang"))
+                  & (F.col("l.kp") == F.col("r.kp"))
+                  & (F.col("l.kq") == F.col("r.kq"))
+                  & pair_once)
         .where(jac >= 0.5)
-        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+        .select(F.least("l.doc_id", "r.doc_id").alias("d1"),
+                F.greatest("l.doc_id", "r.doc_id").alias("d2"),
+                F.round(jac, 4).alias("jaccard"))
     )
 
 

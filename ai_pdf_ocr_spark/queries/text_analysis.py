@@ -132,8 +132,11 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
-_BPE_RE_SPARK = r" ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\s]+"
-_BPE_RE_DUCK = r" ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\s]+"
+# explicit whitespace class: Java regex \s includes \x0B, RE2's does
+# not — spelling it out keeps the two engines' token counts identical
+# on edge whitespace (ADVICE r1)
+_BPE_RE_SPARK = r" ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} \t\n\f\r]+"
+_BPE_RE_DUCK = r" ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} \t\n\f\r]+"
 
 
 @register("text_token_count_bpe", sql=f"""

@@ -68,7 +68,10 @@ def worker_cluster(executors: int, cores: int, n_docs: int) -> None:
 
     zip_path = sp.run([sys.executable, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "package_pyfiles.py")],
-        capture_output=True, text=True).stdout.strip()
+        capture_output=True, text=True, check=True).stdout.strip()
+    if not os.path.exists(zip_path):
+        raise RuntimeError(f"package_pyfiles.py returned {zip_path!r}, "
+                           "not an existing zip")
     total = executors * cores
     spark = (
         SparkSession.builder.appName(f"scalebench-lc-{executors}x{cores}")

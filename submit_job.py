@@ -29,10 +29,12 @@ import sys
 
 def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", help="parquet path of documents(doc_id, spans)")
-    p.add_argument("--generate", type=int, default=0,
-                   help="synthesize N docs on the executors instead of "
-                        "reading --input")
+    src = p.add_mutually_exclusive_group()
+    src.add_argument("--input",
+                     help="parquet path of documents(doc_id, spans)")
+    src.add_argument("--generate", type=int, default=0,
+                     help="synthesize N docs on the executors instead of "
+                          "reading --input")
     p.add_argument("--output", required=True,
                    help="table-store root (documents_extracted/ + "
                         "checkpoint/ land here)")
