@@ -37,6 +37,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+FIXTURE_DIR = "/root/repo/fixtures/expected"
+
+
+def fixture_sql(name: str) -> str:
+    """DuckDB oracle for operators whose expected output is materialized
+    by an independent pure-Python implementation (gen_fixtures.py +
+    tests/oracle_sketches.py — DuckDB has no xxhash64 and cannot express
+    the greedy layout kernel).  Fixtures carry rows for every SF, tagged
+    with ``_corpus`` = SUM(n_chars) of that SF's ``documents`` table, so
+    ONE static SQL string dispatches to the right slice whether the gate
+    runs at sf0.001 or sf0.01."""
+    return (f"SELECT * EXCLUDE (_corpus) "
+            f"FROM read_parquet('{FIXTURE_DIR}/{name}.parquet') "
+            f"WHERE _corpus = (SELECT SUM(n_chars) FROM documents)")
+
+
 def all_queries() -> dict[str, Q]:
     # import side-effect registration
     from . import dedup, multimodal, relational, similarity, text_analysis  # noqa: F401

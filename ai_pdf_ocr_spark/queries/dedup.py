@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import load, register
+from . import fixture_sql, load, register
 
 _NORM = r"\s+"
 
@@ -72,9 +72,9 @@ WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.5
 """
 
 
-def token_masks(spark, d, n_salt=None):
-    """(doc_id, lang, p, sz, m0..m{C-1}): each doc's distinct-token set
-    as C=ceil(|vocab|/64) bitmask longs plus a salt partition ``p``.
+def token_masks(spark, d):
+    """(doc_id, lang, sz, m0..m{C-1}): each doc's distinct-token set
+    as C=ceil(|vocab|/64) bitmask longs.
 
     The vocabulary gets dense ids once (distinct tokens -> row_number;
     the single-partition window and the one driver-side ``count()`` are
@@ -102,13 +102,11 @@ def token_masks(spark, d, n_salt=None):
     masks = (tok.join(F.broadcast(vocab), "tok")
              .groupBy("doc_id", "lang")
              .agg(F.count("*").alias("sz"), *mask_aggs))
-    if n_salt:
-        masks = masks.withColumn(
-            "p", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).cast("int"))
     return masks, n_chunks
 
 
-def _mask_jaccard(left, right, n_chunks):
+def _mask_jaccard(n_chunks):
+    """Jaccard expression over an l/r-aliased mask self-join."""
     inter = None
     for c in range(n_chunks):
         t = F.bit_count(F.col(f"l.m{c}").bitwiseAND(F.col(f"r.m{c}")))
@@ -118,6 +116,33 @@ def _mask_jaccard(left, right, n_chunks):
 
 
 _JACCARD_SALT = 8  # triangle-join fan: S*(S+1)/2 keys per lang block
+
+
+def triangle_self_join(df, block_cols, id_col, n_salt):
+    """All-pairs self-join within ``block_cols`` blocks, spread over
+    S(S+1)/2 sub-keys instead of one hash-join task per block key.
+
+    Each row gets p = hash(id) % S; the left side replicates to keys
+    (p, q >= p), the right to (q <= p, p), so every unordered pair of a
+    block lands on exactly one (kp, kq) key — a skewed block (one lang,
+    one hot label) becomes S(S+1)/2-way parallel.  Returns the joined
+    DataFrame with sides aliased ``l``/``r``; each unordered pair
+    appears exactly once (use least/greatest on ``id_col`` for a
+    canonical pair order)."""
+    part = F.pmod(F.xxhash64(id_col), F.lit(n_salt)).cast("int")
+    base = df.withColumn("_p", part)
+    left = base.withColumn("_kp", F.col("_p")).withColumn(
+        "_kq", F.explode(F.sequence(F.col("_p"), F.lit(n_salt - 1)))) \
+        .alias("l")
+    right = base.withColumn("_kq", F.col("_p")).withColumn(
+        "_kp", F.explode(F.sequence(F.lit(0), F.col("_p")))).alias("r")
+    cond = (F.col("l._kp") == F.col("r._kp")) \
+        & (F.col("l._kq") == F.col("r._kq"))
+    for c in block_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    pair_once = (F.col("l._kp") < F.col("r._kq")) | \
+        (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    return left.join(right, cond & pair_once)
 
 
 @register("dedup_ngram_jaccard", sql=_JACCARD_SQL)
@@ -144,25 +169,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     docs use ``dedup_jaccard_verified`` (MinHash-LSH candidates ->
     exact bitmask verify on candidates only, same predicate)."""
     d = load(spark, sf_dir, "documents")
-    masks, n_chunks = token_masks(spark, d, n_salt=_JACCARD_SALT)
-    cols = ["doc_id", "lang", "sz"] + [f"m{c}" for c in range(n_chunks)]
-    left = masks.select(
-        *cols, F.col("p").alias("kp"),
-        F.explode(F.sequence(F.col("p"), F.lit(_JACCARD_SALT - 1)))
-        .alias("kq")).alias("l")
-    right = masks.select(
-        *cols, F.col("p").alias("kq"),
-        F.explode(F.sequence(F.lit(0), F.col("p"))).alias("kp")).alias("r")
-    jac = _mask_jaccard(left, right, n_chunks)
-    pair_once = (F.col("l.kp") < F.col("r.kq")) | \
-        (F.col("l.doc_id") < F.col("r.doc_id"))
+    masks, n_chunks = token_masks(spark, d)
+    joined = triangle_self_join(masks, ["lang"], "doc_id", _JACCARD_SALT)
+    jac = _mask_jaccard(n_chunks)
     return (
-        left.join(right,
-                  (F.col("l.lang") == F.col("r.lang"))
-                  & (F.col("l.kp") == F.col("r.kp"))
-                  & (F.col("l.kq") == F.col("r.kq"))
-                  & pair_once)
-        .where(jac >= 0.5)
+        joined.where(jac >= 0.5)
         .select(F.least("l.doc_id", "r.doc_id").alias("d1"),
                 F.greatest("l.doc_id", "r.doc_id").alias("d2"),
                 F.round(jac, 4).alias("jaccard"))
@@ -172,54 +183,54 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # ---------------------------------------------------- MinHash + LSH
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
+BAND_CAP = 64  # degenerate band-bucket guard: > CAP members -> dropped
 # 31-bit Mersenne prime keeps a*h+b well inside int64 under ANSI mode
 _MERSENNE = (1 << 31) - 1
 
 
-@register("dedup_minhash_lsh")  # xxhash64 has no DuckDB twin: rows-only
-def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash (16 perms) + LSH banding (4 bands x 4 rows) candidate
-    pairs over word-3-gram shingles.
+def _minhash_banded(items_df, item_col, n_hashes, n_bands, band_cap):
+    """(doc_id, item) rows -> (doc_id, band, band_key) membership with
+    oversized band buckets dropped.
 
-    shingle -> xxhash64 -> 16 affine permutations mod a Mersenne prime
-    -> per-doc min -> band keys -> docs sharing a band key are
-    candidates.  Only (band_key, doc_id) pairs shuffle; no O(n^2)."""
-    d = load(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    # word 3-gram shingles via transform over an index range (array HOFs,
-    # no explode until the shingle stream is final)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
-    sh = (d.select("doc_id", F.explode(F.array_distinct(shingles))
-                   .alias("shingle"))
-          .where(F.length("shingle") > 0)
-          .withColumn("h", F.pmod(F.xxhash64("shingle"),
-                                  F.lit(_MERSENNE))))
-    # 16 deterministic affine perms: h_i = (a_i*h + b_i) mod p
-    perms = [(2 * i + 1, 7919 * (i + 1)) for i in range(N_HASHES)]
+    item -> xxhash64 -> affine permutations mod a Mersenne prime ->
+    per-doc min (algebraic, map-side combinable) -> band keys via ONE
+    explode over the signature row (a union of per-band selects
+    re-executed the item aggregation once per band: 10 exchanges vs 5
+    measured in round 1).  The band-size cap bounds the downstream pair
+    join: a degenerate key (e.g. an all-identical corpus) would
+    otherwise go quadratic — capped buckets are dropped, mirrored
+    bit-for-bit by the pure-Python oracle (tests/oracle_sketches.py)."""
+    from pyspark.sql import Window
+
+    h = F.pmod(F.xxhash64(item_col), F.lit(_MERSENNE))
+    perms = [(2 * i + 1, 7919 * (i + 1)) for i in range(n_hashes)]
     aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b),
-                     F.lit(_MERSENNE))).alias(f"mh{i}")
+        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)))
+        .alias(f"mh{i}")
         for i, (a, b) in enumerate(perms)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    rows_per_band = N_HASHES // N_BANDS
-    # unpivot the bands with ONE explode over the signature row — a
-    # union of per-band selects re-executes the shingle aggregation
-    # once per band (measured: 4x the signature compute, 10 exchanges
-    # vs 5 in the executed plan)
+    sig = items_df.groupBy("doc_id").agg(*aggs)
+    rows_per_band = n_hashes // n_bands
     band_structs = F.array(*[
         F.struct(
             F.lit(bi).alias("band"),
             F.xxhash64(F.concat_ws("_", *[
                 f"mh{bi * rows_per_band + r}" for r in range(rows_per_band)
             ])).alias("band_key"))
-        for bi in range(N_BANDS)
+        for bi in range(n_bands)
     ])
     banded = (sig.select("doc_id", F.explode(band_structs).alias("bk"))
               .select("doc_id", F.col("bk.band").alias("band"),
                       F.col("bk.band_key").alias("band_key")))
+    w = Window.partitionBy("band", "band_key")
+    return (banded.withColumn("bsz", F.count("*").over(w))
+            .where(F.col("bsz") <= band_cap).drop("bsz"))
+
+
+def _band_pairs(banded):
+    """Distinct (d1 < d2) candidate pairs from band-bucket co-members.
+    Only (band, band_key, doc_id) rows shuffle; output is bounded by
+    bands * C(BAND_CAP, 2) per bucket thanks to the cap."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -229,17 +240,77 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("d1"),
                 F.col("b.doc_id").alias("d2"))
         .distinct()
-        .orderBy("d1", "d2")
+    )
+
+
+@register("dedup_minhash_lsh", sql=fixture_sql("dedup_minhash_lsh"))
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (16 perms) + LSH banding (4 bands x 4 rows) candidate
+    pairs over word-3-gram shingles; band buckets capped at BAND_CAP.
+
+    Oracle: pure-Python XXH64 twin (tests/oracle_sketches.py) via
+    gen_fixtures.py — DuckDB has no xxhash64."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    # word 3-gram shingles via transform over an index range (array HOFs,
+    # no explode until the shingle stream is final)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    sh = (d.select("doc_id", F.explode(F.array_distinct(shingles))
+                   .alias("shingle"))
+          .where(F.length("shingle") > 0))
+    banded = _minhash_banded(sh, "shingle", N_HASHES, N_BANDS, BAND_CAP)
+    return _band_pairs(banded)
+
+
+# ------------------------------------- LSH-verified exact Jaccard
+# the corpus-scale near-dup pipeline: MinHash-LSH candidates (2 rows x
+# 16 bands -> P(candidate | jaccard=0.5) = 1-(1-0.25)^16 = 0.990) then
+# exact bitmask verification of ONLY the candidates.
+V_HASHES = 32
+V_BANDS = 16
+# the verified variant bounds, not drops: its cap only exists to keep a
+# degenerate band key's pair join finite (C(1024,2) ~ 0.5M pairs max per
+# bucket).  The tight cap 64 of the candidate-only operator would gut
+# recall on dense corpora (measured 0.20 at sf0.001 where 20% of ALL
+# pairs are true near-dups); docs dropped by a cap are the exact-dup
+# pass's job either way.
+V_BAND_CAP = 1024
+
+
+@register("dedup_jaccard_verified", sql=fixture_sql("dedup_jaccard_verified"))
+def dedup_jaccard_verified(spark, sf_dir):
+    """Scale path for ``dedup_ngram_jaccard``: token-set MinHash-LSH
+    candidate pairs -> exact bitmask Jaccard >= 0.5 on candidates only.
+
+    At 10^12 docs the exact all-pairs variant is Ω(n²) per lang block;
+    here the shuffle is (band_key, doc_id) rows + one broadcast-bounded
+    mask join per candidate pair.  Recall vs the exact operator is
+    asserted >= 0.95 in tests/test_queries.py (2-row bands keep
+    P(miss at the 0.5 threshold) ~ 1%)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.explode(F.array_distinct(_tokens(F.col("text"))))
+                   .alias("tok"))
+    banded = _minhash_banded(tok, "tok", V_HASHES, V_BANDS, V_BAND_CAP)
+    cands = _band_pairs(banded)
+    masks, n_chunks = token_masks(spark, d)
+    left = masks.alias("l")
+    right = masks.alias("r")
+    jac = _mask_jaccard(n_chunks)
+    return (
+        cands.join(left, F.col("d1") == F.col("l.doc_id"))
+        .join(right, F.col("d2") == F.col("r.doc_id"))
+        .where((F.col("l.lang") == F.col("r.lang")) & (jac >= 0.5))
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
     )
 
 
 # ----------------------------------------------------------- SimHash
-@register("dedup_simhash")  # xxhash64-based: rows-only check
-def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash per document from token hashes: one exploded
-    groupBy with 64 algebraic sign-sum aggregates, fully map-side
-    combinable; emits (doc_id, simhash as hex)."""
-    d = load(spark, sf_dir, "documents")
+def _simhash_sigs(d):
+    """(doc_id, simhash): 64 algebraic sign-sum aggregates over the
+    token MULTISET, fully map-side combinable."""
     tok = d.select("doc_id", F.explode(_tokens(F.col("text")))
                    .alias("tok"))
     h = F.xxhash64("tok")
@@ -256,4 +327,113 @@ def dedup_simhash(spark, sf_dir):
                       F.lit(2 ** i if i < 63 else -(2 ** 63))
                       .cast("long")).otherwise(F.lit(0).cast("long"))
         bits = term if bits is None else bits + term
-    return sums.select("doc_id", bits.alias("simhash")).orderBy("doc_id")
+    return sums.select("doc_id", bits.alias("simhash"))
+
+
+@register("dedup_simhash", sql=fixture_sql("dedup_simhash"))
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash per document (oracle: pure-Python XXH64 twin)."""
+    return _simhash_sigs(load(spark, sf_dir, "documents"))
+
+
+SIMHASH_MAX_HAMMING = 3
+
+
+@register("dedup_simhash_pairs", sql=fixture_sql("dedup_simhash_pairs"))
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: hamming(sig1, sig2) <= 3 via banded
+    candidate generation — 4 x 16-bit bands over the 64-bit signature.
+
+    The banding is EXACT for hamming <= 3 (pigeonhole: 3 differing bits
+    touch at most 3 of the 4 bands, so every qualifying pair collides
+    in at least one band); no cap is applied because a cap would break
+    that guarantee — the quadratic-bucket defense for SimHash at scale
+    is splitting hot buckets by a 5th band, not dropping them."""
+    sigs = _simhash_sigs(load(spark, sf_dir, "documents"))
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("bval"))
+        for b in range(4)
+    ])
+    banded = sigs.select("doc_id", "simhash",
+                         F.explode(bands).alias("bk")) \
+        .select("doc_id", "simhash", "bk.band", "bk.bval")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bval") == F.col("b.bval"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"),
+                F.col("b.doc_id").alias("d2"), ham.alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
+# ------------------------------------------- cluster resolution
+@register("dedup_cluster_resolve", sql=f"""
+WITH pairs AS ({_JACCARD_SQL}),
+e AS (SELECT d1 AS s, d2 AS t FROM pairs
+      UNION SELECT d2, d1 FROM pairs),
+r AS (
+  WITH RECURSIVE reach(s, t) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.s, e.t FROM reach JOIN e ON reach.t = e.s
+  ) SELECT * FROM reach
+)
+SELECT s AS doc_id, MIN(t) AS cluster_id,
+       MIN(t) = s AS keep,
+       CAST(COUNT(*) AS BIGINT) AS n_reachable
+FROM r GROUP BY s
+""")
+def dedup_cluster_resolve(spark, sf_dir):
+    """Dedup cluster resolution — the stage every training-data pipeline
+    ends with: connected components over the near-dup pair graph
+    (exact Jaccard >= 0.5 edges) + keeper selection.
+
+    Iterative min-label propagation entirely in DataFrames (no driver
+    loop over rows; the driver loop is over ITERATIONS, each a bounded
+    aggregate — O(component diameter) rounds, 3-4 on real near-dup
+    graphs).  ``localCheckpoint`` truncates the lineage each round so
+    the plan does not grow exponentially.  Keeper = min doc_id per
+    cluster (the reference's smaller-is-removed policy lifted
+    corpus-wide, /root/reference/data_structures.py:155-169).
+
+    Output: (doc_id, cluster_id, keep, n_reachable) for every document
+    — singletons keep themselves; n_reachable = component size.
+
+    At scale: min-label propagation is the standard Pregel-style CC;
+    hot labels are uniform doc_id hashes, each round shuffles only
+    (doc_id, label) longs.  (large-star/small-star halves rounds on
+    high-diameter graphs; near-dup graphs are dense cliques, diameter
+    ~2, so plain propagation is the cheaper constant.)"""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    edges = (pairs.select(F.col("d1").alias("s"), F.col("d2").alias("t"))
+             .union(pairs.select(F.col("d2").alias("s"),
+                                 F.col("d1").alias("t")))
+             .distinct().localCheckpoint(eager=True))
+    labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(64):  # diameter bound; converges in 3-4 rounds here
+        nbr = (edges.join(labels, edges.t == labels.doc_id)
+               .groupBy("s").agg(F.min("label").alias("nbr_min")))
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.s, "left")
+            .select(labels.doc_id,
+                    F.least("label", "nbr_min").alias("label"))
+            .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    comp_sz = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_reachable"))
+    return (labels.join(comp_sz, "label")
+            .select("doc_id", F.col("label").alias("cluster_id"),
+                    (F.col("label") == F.col("doc_id")).alias("keep"),
+                    "n_reachable"))

@@ -1,0 +1,230 @@
+"""Materialize the expected-output fixtures that back the DuckDB
+oracles of the non-SQL-expressible operators (greedy layout kernel,
+xxhash64 sketches) plus the two fixture input tables (raw interleaved
+corpus, media-asset dimension).
+
+Every expected-output table is computed by an INDEPENDENT pure-Python
+implementation — tests/oracle.py (the reference-parity extraction SPEC)
+and tests/oracle_sketches.py (XXH64 twins) — never by the Spark code
+under test.  Slices for each SF are stacked in one parquet, tagged
+``_corpus`` = SUM(n_chars) of that SF's ``documents`` table so the
+static oracle SQL (queries/__init__.py::fixture_sql) dispatches at
+whatever SF the gate runs.
+
+Run: ``python gen_fixtures.py``   (idempotent; ~30 s)
+Freshness is asserted by tests/test_fixtures.py — if the driver ever
+regenerates /root/testdata differently, that test fails loudly.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ai_pdf_ocr_spark.flagship import corpus_size  # noqa: E402
+from ai_pdf_ocr_spark.fixtures.generate import make_documents  # noqa: E402
+from ai_pdf_ocr_spark.kernel.xxh64 import xxhash64_str  # noqa: E402
+from tests import oracle_sketches as OS  # noqa: E402
+
+TESTDATA = "/root/testdata"
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "fixtures", "expected")
+
+TEXT_SFS = ("sf0.001", "sf0.01", "sf0.1")   # corpus-shaped fixtures
+PAIR_SFS = ("sf0.001", "sf0.01")            # pure-Python pair sweeps
+
+MIMES = ("image/png", "image/jpeg", "video/mp4", "audio/wav")
+
+
+def marker(sf: str) -> int:
+    return duckdb.sql(
+        f"SELECT SUM(n_chars) FROM "
+        f"read_parquet('{TESTDATA}/{sf}/documents.parquet')").fetchone()[0]
+
+
+def docs_table(sf: str):
+    return duckdb.sql(
+        f"SELECT doc_id, lang, text FROM "
+        f"read_parquet('{TESTDATA}/{sf}/documents.parquet') "
+        f"ORDER BY doc_id").fetchall()
+
+
+def emb_table(sf: str):
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM "
+        f"read_parquet('{TESTDATA}/{sf}/embeddings.parquet') "
+        f"ORDER BY vec_id").fetchall()
+    # float32 -> exact float64, matching Spark's cast
+    return [(v, [float(x) for x in e], lab) for v, e, lab in rows]
+
+
+SPAN_T = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                    ("media_ref", pa.string()), ("offset", pa.int32())])
+
+
+def _write(name: str, cols: dict, types: dict):
+    arrays, fields = [], []
+    for k, v in cols.items():
+        t = types[k]
+        arrays.append(pa.array(v, type=t))
+        fields.append(pa.field(k, t))
+    pq.write_table(pa.table(arrays, schema=pa.schema(fields)),
+                   os.path.join(OUT, f"{name}.parquet"))
+    print(f"  {name}.parquet: {len(arrays[0])} rows")
+
+
+def corpus_and_extract():
+    corpus = {k: [] for k in ("_corpus", "doc_id", "spans")}
+    spans_rows = {k: [] for k in ("_corpus", "doc_id", "pos", "kind",
+                                  "text", "media_ref", "order")}
+    stats_rows = {k: [] for k in (
+        "_corpus", "doc_id", "n_spans", "n_text_spans", "n_media_spans",
+        "document_text", "document_length", "span_count_in", "malformed",
+        "merged_away", "dedup_removed", "filtered")}
+    refs = set()
+    for sf in TEXT_SFS:
+        m = marker(sf)
+        docs = make_documents(corpus_size(f"{TESTDATA}/{sf}"), seed=42)
+        for d in docs:
+            corpus["_corpus"].append(m)
+            corpus["doc_id"].append(d["doc_id"])
+            corpus["spans"].append(
+                [{"kind": s["kind"], "text": s["text"],
+                  "media_ref": s["media_ref"], "offset": s["offset"]}
+                 for s in d["spans"]])
+            refs.update(s["media_ref"] for s in d["spans"]
+                        if s["media_ref"] is not None)
+            out, document_text, met = OS.extract_doc_rows(d)
+            for pos, (kind, text, ref, order) in enumerate(out):
+                spans_rows["_corpus"].append(m)
+                spans_rows["doc_id"].append(d["doc_id"])
+                spans_rows["pos"].append(pos)
+                spans_rows["kind"].append(kind)
+                spans_rows["text"].append(text)
+                spans_rows["media_ref"].append(ref)
+                spans_rows["order"].append(order)
+            n_text = sum(1 for k, _, _, _ in out if k == "text")
+            stats_rows["_corpus"].append(m)
+            stats_rows["doc_id"].append(d["doc_id"])
+            stats_rows["n_spans"].append(len(out))
+            stats_rows["n_text_spans"].append(n_text)
+            stats_rows["n_media_spans"].append(len(out) - n_text)
+            stats_rows["document_text"].append(document_text[:64])
+            stats_rows["document_length"].append(len(document_text))
+            for k in ("span_count_in", "malformed", "merged_away",
+                      "dedup_removed", "filtered"):
+                stats_rows[k].append(met[k])
+    _write("corpus", corpus,
+           {"_corpus": pa.int64(), "doc_id": pa.string(),
+            "spans": pa.list_(SPAN_T)})
+    _write("extract_spans", spans_rows,
+           {"_corpus": pa.int64(), "doc_id": pa.string(),
+            "pos": pa.int32(), "kind": pa.string(), "text": pa.string(),
+            "media_ref": pa.string(), "order": pa.int32()})
+    _write("extract_doc_stats", stats_rows,
+           {"_corpus": pa.int64(), "doc_id": pa.string(),
+            "n_spans": pa.int32(), "n_text_spans": pa.int32(),
+            "n_media_spans": pa.int32(), "document_text": pa.string(),
+            "document_length": pa.int32(), "span_count_in": pa.int64(),
+            "malformed": pa.int64(), "merged_away": pa.int64(),
+            "dedup_removed": pa.int64(), "filtered": pa.int64()})
+    # media-asset dimension: deterministic attrs per distinct ref
+    rs = sorted(refs)
+    _write("media_assets",
+           {"media_ref": rs,
+            "mime": [MIMES[xxhash64_str("mime:" + r) % 4] for r in rs],
+            "bytes": [xxhash64_str("bytes:" + r) % 999000 + 1000
+                      for r in rs]},
+           {"media_ref": pa.string(), "mime": pa.string(),
+            "bytes": pa.int64()})
+
+
+def sketches():
+    mh = {k: [] for k in ("_corpus", "d1", "d2")}
+    sh = {k: [] for k in ("_corpus", "doc_id", "simhash")}
+    shp = {k: [] for k in ("_corpus", "d1", "d2", "hamming")}
+    jv = {k: [] for k in ("_corpus", "d1", "d2", "jaccard")}
+    for sf in PAIR_SFS:
+        m = marker(sf)
+        docs = docs_table(sf)
+        for d1, d2 in OS.minhash_lsh_pairs([(d, t) for d, _, t in docs]):
+            mh["_corpus"].append(m)
+            mh["d1"].append(d1)
+            mh["d2"].append(d2)
+        for d, _, t in docs:
+            s = OS.simhash_sig(t)
+            if s is not None:
+                sh["_corpus"].append(m)
+                sh["doc_id"].append(d)
+                sh["simhash"].append(s)
+        for d1, d2, ham in OS.simhash_pairs([(d, t) for d, _, t in docs]):
+            shp["_corpus"].append(m)
+            shp["d1"].append(d1)
+            shp["d2"].append(d2)
+            shp["hamming"].append(ham)
+        for d1, d2, jac in OS.jaccard_verified_pairs(docs):
+            jv["_corpus"].append(m)
+            jv["d1"].append(d1)
+            jv["d2"].append(d2)
+            jv["jaccard"].append(jac)
+    _write("dedup_minhash_lsh", mh,
+           {"_corpus": pa.int64(), "d1": pa.int64(), "d2": pa.int64()})
+    _write("dedup_simhash", sh,
+           {"_corpus": pa.int64(), "doc_id": pa.int64(),
+            "simhash": pa.int64()})
+    _write("dedup_simhash_pairs", shp,
+           {"_corpus": pa.int64(), "d1": pa.int64(), "d2": pa.int64(),
+            "hamming": pa.int32()})
+    _write("dedup_jaccard_verified", jv,
+           {"_corpus": pa.int64(), "d1": pa.int64(), "d2": pa.int64(),
+            "jaccard": pa.float64()})
+
+
+def ann():
+    bucketed = {k: [] for k in ("_corpus", "bucket", "rank", "vec_id",
+                                "label", "cos_q")}
+    probe = {k: [] for k in ("_corpus", "rank", "vec_id", "label",
+                             "cosine")}
+    for sf in PAIR_SFS:
+        m = marker(sf)
+        vecs = emb_table(sf)
+        for b, rank, v, lab, c in OS.ann_lsh_bucketed_rows(vecs):
+            bucketed["_corpus"].append(m)
+            bucketed["bucket"].append(b)
+            bucketed["rank"].append(rank)
+            bucketed["vec_id"].append(v)
+            bucketed["label"].append(lab)
+            bucketed["cos_q"].append(c)
+        for rank, v, lab, c in OS.ann_multiprobe_rows(vecs):
+            probe["_corpus"].append(m)
+            probe["rank"].append(rank)
+            probe["vec_id"].append(v)
+            probe["label"].append(lab)
+            probe["cosine"].append(c)
+    _write("ann_lsh_bucketed", bucketed,
+           {"_corpus": pa.int64(), "bucket": pa.int32(),
+            "rank": pa.int32(), "vec_id": pa.int64(),
+            "label": pa.int32(), "cos_q": pa.float64()})
+    _write("ann_lsh_multiprobe", probe,
+           {"_corpus": pa.int64(), "rank": pa.int32(),
+            "vec_id": pa.int64(), "label": pa.int32(),
+            "cosine": pa.float64()})
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    print("generating fixtures ->", OUT)
+    corpus_and_extract()
+    sketches()
+    ann()
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

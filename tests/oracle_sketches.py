@@ -1,0 +1,316 @@
+"""Pure-Python oracle twins of the hash-sketch operators (MinHash/LSH,
+SimHash, hyperplane ANN) and the extraction metric rollup.
+
+DuckDB has no ``xxhash64``, so these operators cannot get a plain-SQL
+oracle.  Instead THIS module recomputes each operator's expected output
+independently (loop-based Python over the same public XXH64 spec,
+``ai_pdf_ocr_spark/kernel/xxh64.py``), and ``gen_fixtures.py``
+materializes the results to parquet that the driver's DuckDB gate reads
+via ``read_parquet`` — turning the former rows-only checks into full
+rows+schema+hash comparisons.
+
+Spark-semantics notes (each replicated deliberately):
+ - ``F.trim`` strips ASCII spaces only; Java regex ``\\s`` is
+   ``[ \\t\\n\\x0b\\f\\r]``;
+ - ``F.pmod(a, p)`` is non-negative like Python ``%`` for p>0;
+ - ``>>`` on a Java long is arithmetic — Python ints match for bit
+   extraction ``(h >> i) & 1``;
+ - ``F.aggregate``/``zip_with`` folds arrays left-to-right — summation
+   order (and therefore every IEEE-754 intermediate) is reproduced;
+ - ``F.round(x, 4)`` rounds HALF_UP on the shortest decimal repr
+   (java BigDecimal.valueOf) — ``Decimal(repr(x))`` matches.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+from ai_pdf_ocr_spark.kernel.xxh64 import xxhash64_str
+
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+_MERSENNE = (1 << 31) - 1
+_U64 = (1 << 64) - 1
+
+
+def spark_round(x: float, digits: int = 4) -> float:
+    if x is None or math.isnan(x) or math.isinf(x):
+        return x
+    q = Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP)
+    return float(q)
+
+
+def tokens_py(text: str) -> list[str]:
+    """Twin of queries/dedup.py::_tokens."""
+    return [t for t in _JAVA_WS.split(text.strip(" ").lower()) if t]
+
+
+# --------------------------------------------------- MinHash + LSH
+
+def _affine_perms(n_hashes: int):
+    return [(2 * i + 1, 7919 * (i + 1)) for i in range(n_hashes)]
+
+
+def minhash_signature(items: list[str], n_hashes: int) -> list[int] | None:
+    """min over items of (a*pmod(xxh64(item),p)+b) mod p, per perm."""
+    if not items:
+        return None
+    hs = [xxhash64_str(it) % _MERSENNE for it in items]
+    return [min((a * h + b) % _MERSENNE for h in hs)
+            for a, b in _affine_perms(n_hashes)]
+
+
+def shingles_py(text: str, k: int = 3) -> list[str]:
+    """Twin of the word-k-gram shingle expression in dedup_minhash_lsh:
+    transform(sequence(0, greatest(size-k, 0)), i -> concat_ws(' ',
+    slice(toks, i+1, k))), array_distinct, drop empties."""
+    toks = tokens_py(text)
+    out, seen = [], set()
+    for i in range(max(len(toks) - k, 0) + 1):
+        s = " ".join(toks[i:i + k])
+        if s and s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def band_keys(sig: list[int], n_bands: int) -> list[int]:
+    r = len(sig) // n_bands
+    return [xxhash64_str("_".join(str(v) for v in sig[b * r:(b + 1) * r]))
+            for b in range(n_bands)]
+
+
+def lsh_candidate_pairs(doc_items: dict, n_hashes: int, n_bands: int,
+                        band_cap: int | None) -> set[tuple]:
+    """doc_items: doc_id -> list of hashed units (shingles or tokens).
+    Returns the distinct (d1 < d2) pairs sharing >=1 uncapped band
+    bucket."""
+    buckets: dict[tuple, list] = {}
+    for doc_id, items in doc_items.items():
+        sig = minhash_signature(items, n_hashes)
+        if sig is None:
+            continue
+        for b, key in enumerate(band_keys(sig, n_bands)):
+            buckets.setdefault((b, key), []).append(doc_id)
+    pairs: set[tuple] = set()
+    for members in buckets.values():
+        if band_cap is not None and len(members) > band_cap:
+            continue
+        ms = sorted(members)
+        for i, d1 in enumerate(ms):
+            for d2 in ms[i + 1:]:
+                pairs.add((d1, d2))
+    return pairs
+
+
+def minhash_lsh_pairs(docs: list[tuple], n_hashes: int = 16,
+                      n_bands: int = 4,
+                      band_cap: int | None = 64) -> list[tuple]:
+    """docs: [(doc_id, text)] -> [(d1, d2)] shingle-LSH candidates."""
+    items = {d: shingles_py(t) for d, t in docs}
+    return sorted(lsh_candidate_pairs(items, n_hashes, n_bands, band_cap))
+
+
+def jaccard_verified_pairs(docs: list[tuple], n_hashes: int = 32,
+                           n_bands: int = 16, band_cap: int | None = 1024,
+                           threshold: float = 0.5) -> list[tuple]:
+    """Token-set MinHash-LSH candidates -> exact Jaccard verify.
+    docs: [(doc_id, lang, text)] -> [(d1, d2, jaccard)]."""
+    toks = {d: tokens_py(t) for d, _, t in docs}
+    lang = {d: lg for d, lg, _ in docs}
+    cands = lsh_candidate_pairs(
+        {d: sorted(set(ts)) for d, ts in toks.items()},
+        n_hashes, n_bands, band_cap)
+    out = []
+    for d1, d2 in sorted(cands):
+        if lang[d1] != lang[d2]:
+            continue
+        s1, s2 = set(toks[d1]), set(toks[d2])
+        inter = len(s1 & s2)
+        union = len(s1) + len(s2) - inter
+        if union and inter / union >= threshold:
+            out.append((d1, d2, spark_round(inter / union)))
+    return out
+
+
+# --------------------------------------------------------- SimHash
+
+def simhash_sig(text: str) -> int | None:
+    """64-bit SimHash over the token MULTISET; signed-long result.
+    None when the doc has no tokens (absent from the Spark groupBy)."""
+    toks = tokens_py(text)
+    if not toks:
+        return None
+    sums = [0] * 64
+    for t in toks:
+        h = xxhash64_str(t)
+        for i in range(64):
+            sums[i] += 1 if (h >> i) & 1 else -1
+    sig = 0
+    for i in range(64):
+        if sums[i] > 0:
+            sig += (1 << i) if i < 63 else -(1 << 63)
+    return sig
+
+
+def simhash_pairs(docs: list[tuple], max_hamming: int = 3) -> list[tuple]:
+    """docs: [(doc_id, text)] -> [(d1, d2, hamming)] for pairs within
+    ``max_hamming``.  Banding 4 x 16 bits is EXACT for max_hamming <= 3
+    by pigeonhole (3 differing bits touch at most 3 of 4 bands)."""
+    sigs = {d: s for d, t in docs if (s := simhash_sig(t)) is not None}
+    buckets: dict[tuple, list] = {}
+    for d, s in sigs.items():
+        u = s & _U64
+        for b in range(4):
+            buckets.setdefault((b, (u >> (16 * b)) & 0xFFFF, ), []).append(d)
+    seen: set[tuple] = set()
+    out = []
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, d1 in enumerate(ms):
+            for d2 in ms[i + 1:]:
+                if (d1, d2) in seen:
+                    continue
+                seen.add((d1, d2))
+                ham = bin((sigs[d1] ^ sigs[d2]) & _U64).count("1")
+                if ham <= max_hamming:
+                    out.append((d1, d2, ham))
+    return sorted(out)
+
+
+# --------------------------------------------- hyperplane LSH ANN
+
+ANN_PLANES = 16
+
+
+def _fold_dot(xs, ws) -> float:
+    acc = 0.0
+    for x, w in zip(xs, ws):
+        acc = acc + x * w
+    return acc
+
+
+def plane_weights(p: int, dim: int = 64) -> list[float]:
+    return [(xxhash64_str(f"{j}:{p}") % 2001 - 1000.0) / 1000.0
+            for j in range(dim)]
+
+
+_PLANES_CACHE: dict[int, list[list[float]]] = {}
+
+
+def _planes(n: int) -> list[list[float]]:
+    if n not in _PLANES_CACHE:
+        _PLANES_CACHE[n] = [plane_weights(p) for p in range(n)]
+    return _PLANES_CACHE[n]
+
+
+def ann_bucket(emb: list[float], n_planes: int = ANN_PLANES) -> int:
+    sig = 0
+    for p, w in enumerate(_planes(n_planes)):
+        if _fold_dot(emb, w) >= 0:
+            sig += 1 << p
+    return sig
+
+
+def cosine_py(a: list[float], b: list[float]) -> float:
+    dot = _fold_dot(a, b)
+    na = math.sqrt(_fold_dot(a, a))
+    nb = math.sqrt(_fold_dot(b, b))
+    return dot / (na * nb)
+
+
+def ann_lsh_bucketed_rows(vectors: list[tuple], k: int = 5) -> list[tuple]:
+    """vectors: [(vec_id, emb_float64_list, label)]; query = vec_id 0.
+    Per-bucket top-k by cosine to the query vector ->
+    (bucket, rank, vec_id, label, cos_q)."""
+    q = next(e for v, e, _ in vectors if v == 0)
+    rows = [(ann_bucket(e), v, lab, cosine_py(e, q))
+            for v, e, lab in vectors if v != 0]
+    by_bucket: dict[int, list] = {}
+    for b, v, lab, c in rows:
+        by_bucket.setdefault(b, []).append((v, lab, c))
+    out = []
+    for b, members in sorted(by_bucket.items()):
+        members.sort(key=lambda m: (-m[2], m[0]))
+        for rank, (v, lab, c) in enumerate(members[:k], start=1):
+            out.append((b, rank, v, lab, spark_round(c)))
+    return out
+
+
+def probe_masks(radius: int, n_planes: int = ANN_PLANES) -> list[int]:
+    """XOR masks for every bucket within hamming <= radius (sorted by
+    popcount then value — same enumeration as the Spark literal)."""
+    from itertools import combinations
+
+    masks = []
+    for r in range(radius + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def ann_multiprobe_rows(vectors: list[tuple], k: int = 10,
+                        radius: int = 3) -> list[tuple]:
+    """Multi-probe ANN: probe every bucket within hamming<=radius of the
+    query vector's bucket, exact-rank the candidates ->
+    (rank, vec_id, label, cosine)."""
+    q = next(e for v, e, _ in vectors if v == 0)
+    qb = ann_bucket(q)
+    probe = {qb ^ m for m in probe_masks(radius)}
+    cands = [(v, lab, cosine_py(e, q)) for v, e, lab in vectors
+             if v != 0 and ann_bucket(e) in probe]
+    cands.sort(key=lambda m: (-m[2], m[0]))
+    return [(rank, v, lab, spark_round(c))
+            for rank, (v, lab, c) in enumerate(cands[:k], start=1)]
+
+
+# ------------------------------------- extraction stats (doc_stats)
+
+def extract_doc_rows(doc: dict):
+    """Twin of flagship.extract_doc_stats's per-doc row: runs the pure
+    oracle pipeline page-by-page, capturing the kernel's metric
+    counters (layout.py stats semantics: merged_away = blocks absorbed
+    by merge, dedup_removed = duplicate-removal count, filtered =
+    post-dedupe keep_block drops)."""
+    from tests import oracle as O
+
+    blocks = []
+    malformed = 0
+    for s in doc["spans"]:
+        b = O.parse_span(s["kind"], s["text"], s.get("media_ref"),
+                         s["offset"])
+        if b is None:
+            malformed += 1
+        else:
+            blocks.append(b)
+    out: list[tuple] = []
+    merged_away = dedup_removed = filtered = 0
+    for page in sorted({b.page for b in blocks}):
+        page_blocks = sorted((b for b in blocks if b.page == page),
+                             key=lambda b: b.offset)
+        ordered = O.sort_page(page_blocks)
+        deduped, removed = O.remove_duplicates(ordered)
+        dedup_removed += removed
+        # kernel's merged_away counts only merge absorption, BEFORE the
+        # direction split (degenerate-direction drops hit no metric)
+        merged_away += len(page_blocks) - len(O.merge_overlapping(page_blocks))
+        for b in deduped:
+            if O.keep_block(b):
+                out.append((b.kind, b.text, b.media_ref, b.block_id))
+            else:
+                filtered += 1
+    text_parts = [t for k, t, _, _ in out if k == "text"]
+    document_text = " ".join(text_parts)
+    metrics = {
+        "span_count_in": len(doc["spans"]),
+        "malformed": malformed,
+        "merged_away": merged_away,
+        "dedup_removed": dedup_removed,
+        "filtered": filtered,
+    }
+    return out, document_text, metrics

@@ -1,0 +1,112 @@
+"""Guard rails for the fixture-backed oracles (fixtures/expected/):
+
+1. freshness — the committed parquet must equal what the pure-Python
+   oracles produce from the CURRENT testdata + generator (if the driver
+   ever regenerates /root/testdata differently, this fails loudly
+   instead of silently flunking the correctness gate);
+2. dtype parity — the DuckDB oracle result's Arrow schema must match
+   the Spark query's schema type-for-type (the driver compares
+   schemas, not just values).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+FIXTURE_DIR = "/root/repo/fixtures/expected"
+SF_DIR = "/root/testdata/sf0.001"
+
+FIXTURE_QUERIES = [
+    "extract_spans", "extract_doc_stats", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_jaccard_verified",
+    "ann_lsh_bucketed", "ann_lsh_multiprobe", "s1_corpus_probe",
+    "j_media_asset_join",
+]
+
+
+def _marker(sf_dir: str) -> int:
+    return duckdb.sql(
+        f"SELECT SUM(n_chars) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')").fetchone()[0]
+
+
+def _slice(name: str, m: int):
+    return duckdb.sql(
+        f"SELECT * EXCLUDE (_corpus) FROM "
+        f"read_parquet('{FIXTURE_DIR}/{name}.parquet') "
+        f"WHERE _corpus = {m}").fetchall()
+
+
+def test_sketch_fixtures_fresh():
+    from tests import oracle_sketches as OS
+    m = _marker(SF_DIR)
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet') "
+        f"ORDER BY doc_id").fetchall()
+    dt = [(d, t) for d, _, t in docs]
+    assert sorted(_slice("dedup_minhash_lsh", m)) == \
+        OS.minhash_lsh_pairs(dt)
+    assert sorted(_slice("dedup_simhash_pairs", m)) == OS.simhash_pairs(dt)
+    assert sorted(_slice("dedup_jaccard_verified", m)) == \
+        OS.jaccard_verified_pairs(docs)
+    sigs = sorted((d, s) for d, t in dt
+                  if (s := OS.simhash_sig(t)) is not None)
+    assert sorted(_slice("dedup_simhash", m)) == sigs
+
+
+def test_ann_fixtures_fresh():
+    import gen_fixtures as G
+    from tests import oracle_sketches as OS
+    m = _marker(SF_DIR)
+    vecs = G.emb_table("sf0.001")
+    assert sorted(_slice("ann_lsh_bucketed", m)) == \
+        sorted(OS.ann_lsh_bucketed_rows(vecs))
+    assert sorted(_slice("ann_lsh_multiprobe", m)) == \
+        sorted(OS.ann_multiprobe_rows(vecs))
+
+
+def test_extract_fixtures_fresh():
+    from ai_pdf_ocr_spark.fixtures.generate import make_documents
+    from tests import oracle_sketches as OS
+    m = _marker(SF_DIR)
+    expect = []
+    for d in make_documents(200, seed=42):
+        out, _, _ = OS.extract_doc_rows(d)
+        for pos, (kind, text, ref, order) in enumerate(out):
+            expect.append((d["doc_id"], pos, kind, text, ref, order))
+    assert sorted(_slice("extract_spans", m)) == sorted(expect)
+
+
+def test_corpus_fixture_fresh():
+    from ai_pdf_ocr_spark.fixtures.generate import make_documents
+    m = _marker(SF_DIR)
+    n = duckdb.sql(
+        f"SELECT COUNT(*), SUM(LENGTH(spans)) FROM "
+        f"read_parquet('{FIXTURE_DIR}/corpus.parquet') "
+        f"WHERE _corpus = {m}").fetchone()
+    docs = make_documents(200, seed=42)
+    assert n[0] == len(docs)
+    assert n[1] == sum(len(d["spans"]) for d in docs)
+
+
+_ARROW_OF_SPARK = {"bigint": "int64", "int": "int32", "double": "double",
+                   "float": "float", "string": "string",
+                   "boolean": "bool"}
+
+
+@pytest.mark.parametrize("name", FIXTURE_QUERIES)
+def test_fixture_oracle_dtypes_match_spark(spark, name):
+    from ai_pdf_ocr_spark.queries import all_queries
+    q = all_queries()[name]
+    sdf = q.fn(spark, SF_DIR)
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    tbl = con.execute(q.sql).arrow()
+    duck_types = {f.name: str(f.type) for f in tbl.schema}
+    for col, styp in sdf.dtypes:
+        assert duck_types[col] == _ARROW_OF_SPARK[styp], \
+            f"{name}.{col}: spark {styp} vs duckdb {duck_types[col]}"
