@@ -17,7 +17,7 @@ import pyarrow as pa
 
 from .decode import decode_flat
 from .layout import (MERGE_THRESHOLD, REMOVE_THRESHOLD, SMALL_PAGE,
-                     process_page, process_page_small, process_page_sparse)
+                     process_page, process_page_fast)
 
 KERNEL_VERSION = "1.2.0"
 
@@ -40,9 +40,13 @@ def _extract_core(n_docs: int, counts: np.ndarray, kinds, texts, mrefs,
                   offs) -> tuple:
     """Shared core over flat per-span arrays (already doc-concatenated).
 
-    Returns (out_counts, out_kind, out_text, out_ref, out_order,
-    metrics dict of int64 arrays).  Output spans are concatenated in
-    doc order (doc i's spans occupy out slots sum(out_counts[:i])...).
+    Returns (out_counts, flat out_kind/out_text/out_ref/out_order
+    lists, metrics dict of int64 arrays).  Output spans are FLAT,
+    concatenated in doc order (doc i's spans occupy out slots
+    sum(out_counts[:i])... — the page loop visits (doc, page) groups in
+    ascending sorted order, so appending to flat lists is already
+    doc-major; the per-doc nested lists + final flatten of round 1 cost
+    an extra pass over every output value).
     """
     total = int(counts.sum())
     doc_of = np.repeat(np.arange(n_docs), counts)
@@ -56,10 +60,11 @@ def _extract_core(n_docs: int, counts: np.ndarray, kinds, texts, mrefs,
         metrics["malformed"] = np.bincount(
             doc_of[~valid], minlength=n_docs).astype(np.int64)
 
-    out_kind: list[list] = [[] for _ in range(n_docs)]
-    out_text: list[list] = [[] for _ in range(n_docs)]
-    out_ref: list[list] = [[] for _ in range(n_docs)]
-    out_order: list[list] = [[] for _ in range(n_docs)]
+    out_counts = np.zeros(n_docs, np.int64)
+    out_kind: list = []
+    out_text: list = []
+    out_ref: list = []
+    out_order: list = []
 
     if len(dec["page"]):
         d_doc = doc_of[valid]
@@ -140,52 +145,44 @@ def _extract_core(n_docs: int, counts: np.ndarray, kinds, texts, mrefs,
                 for k, g in zip(mg, gs):
                     merge_map.setdefault(int(pairable[g]), []).append(
                         (int(LI[k]), int(LJ[k])))
+            # dedupe candidates for EVERY small page (merge-bearing ones
+            # included: geometry-untouched pairs stay valid; pairs
+            # around merged blocks are recomputed in process_page_fast).
+            # Directed (small, large) BATCH-GLOBAL indices.
             dd = np.nonzero(dd_ij | dd_ji)[0]
             if len(dd):
                 gs = np.searchsorted(pair_off, dd, side="right") - 1
                 ij = dd_ij[dd]
                 for pos, (k, g) in enumerate(zip(dd, gs)):
-                    gg = int(pairable[g])
-                    if gg in merge_map:
-                        continue
-                    pair = (int(LI[k]), int(LJ[k])) if ij[pos] \
-                        else (int(LJ[k]), int(LI[k]))
-                    dd_map.setdefault(gg, []).append(pair)
+                    pair = (int(PI[k]), int(PJ[k])) if ij[pos] \
+                        else (int(PJ[k]), int(PI[k]))
+                    dd_map.setdefault(int(pairable[g]), []).append(pair)
 
-        # primitive-list views for the small-page fast paths (one C pass
-        # each; per-page numpy dispatch dominates at n~20)
-        x0_l = x0.tolist(); y0_l = y0.tolist()
-        x1_l = x1.tolist(); y1_l = y1.tolist()
-        conf_l = conf.tolist()
-        dir_l = direction.tolist(); kind_l = okind.tolist()
-        text_l = content.tolist(); ref_l = oref.tolist()
+        # one pre-zipped block-tuple list for the whole batch (tuple
+        # field 9 = batch-global index, keyed by the dd candidates);
+        # per page the fast path gets ONE list slice instead of nine
+        all_blocks = list(zip(
+            x0.tolist(), y0.tolist(), x1.tolist(), y1.tolist(),
+            conf.tolist(), direction.tolist(), okind.tolist(),
+            content.tolist(), oref.tolist(), range(len(x0))))
 
         for gi, (s, e) in enumerate(zip(starts, ends)):
             di = int(d_doc[s])
             if e - s <= SMALL_PAGE:
-                mc = merge_map.get(gi)
-                if mc is not None:
-                    ks, ts, rs, orders, st = process_page_small(
-                        x0_l[s:e], y0_l[s:e], x1_l[s:e], y1_l[s:e],
-                        conf_l[s:e], dir_l[s:e], kind_l[s:e], text_l[s:e],
-                        ref_l[s:e], merge_cands=mc)
-                else:
-                    ks, ts, rs, orders, st = process_page_sparse(
-                        x0_l[s:e], y0_l[s:e], x1_l[s:e], y1_l[s:e],
-                        conf_l[s:e], dir_l[s:e], kind_l[s:e], text_l[s:e],
-                        ref_l[s:e], dd_map.get(gi, ()))
+                ks, ts, rs, orders, st = process_page_fast(
+                    all_blocks[s:e], merge_map.get(gi), dd_map.get(gi))
             else:
                 ks, ts, rs, orders, st = process_page(
                     x0[s:e], y0[s:e], x1[s:e], y1[s:e], conf[s:e],
                     direction[s:e], okind[s:e], content[s:e], oref[s:e])
-            out_kind[di].extend(ks)
-            out_text[di].extend(ts)
-            out_ref[di].extend(rs)
-            out_order[di].extend(orders)
+            out_counts[di] += len(ks)
+            out_kind.extend(ks)
+            out_text.extend(ts)
+            out_ref.extend(rs)
+            out_order.extend(orders)
             for key in ("merged_away", "dedup_removed", "filtered"):
                 metrics[key][di] += st[key]
 
-    out_counts = np.fromiter((len(s) for s in out_kind), np.int64, n_docs)
     metrics["span_count_out"] = out_counts
     return out_counts, out_kind, out_text, out_ref, out_order, metrics
 
@@ -218,11 +215,12 @@ def extract_record_batch(rb: pa.RecordBatch) -> pa.RecordBatch:
     out_counts, ok, ot, orf, oo, metrics = _extract_core(
         n_docs, counts, kinds, texts, mrefs, offs)
 
-    # assemble output list<struct> directly from flat arrays + offsets
-    flat_kind = pa.array([v for d in ok for v in d], type=pa.string())
-    flat_text = pa.array([v for d in ot for v in d], type=pa.string())
-    flat_ref = pa.array([v for d in orf for v in d], type=pa.string())
-    flat_order = pa.array([v for d in oo for v in d], type=pa.int32())
+    # assemble output list<struct> directly from the flat arrays +
+    # offsets (the core emits doc-major flat lists — no flatten pass)
+    flat_kind = pa.array(ok, type=pa.string())
+    flat_text = pa.array(ot, type=pa.string())
+    flat_ref = pa.array(orf, type=pa.string())
+    flat_order = pa.array(oo, type=pa.int32())
     struct = pa.StructArray.from_arrays(
         [flat_kind, flat_text, flat_ref, flat_order],
         fields=list(_OUT_SPAN_PA))
@@ -261,9 +259,13 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
     out_counts, ok, ot, orf, oo, metrics = _extract_core(
         n_docs, counts, kinds, texts, mrefs, offs)
+    off_out = np.concatenate(([0], np.cumsum(out_counts)))
     out_spans = [
         [{"kind": k, "text": t, "media_ref": r, "order": o}
-         for k, t, r, o in zip(ok[i], ot[i], orf[i], oo[i])]
+         for k, t, r, o in zip(ok[off_out[i]:off_out[i + 1]],
+                               ot[off_out[i]:off_out[i + 1]],
+                               orf[off_out[i]:off_out[i + 1]],
+                               oo[off_out[i]:off_out[i + 1]])]
         for i in range(n_docs)
     ]
     out = pd.DataFrame({"doc_id": pdf["doc_id"].tolist(),

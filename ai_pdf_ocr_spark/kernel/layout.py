@@ -18,7 +18,12 @@ summation to match ``sum()/len()`` at
 
 from __future__ import annotations
 
+from operator import itemgetter
+
 import numpy as np
+
+_KEY_X0 = itemgetter(0)
+_KEY_Y0 = itemgetter(1)
 
 DPI = 200
 PT_SCALE = 72.0 / DPI
@@ -107,40 +112,50 @@ def _cluster_sort(idx: np.ndarray, ovmat: np.ndarray,
 SMALL_PAGE = 64
 
 
-def process_page_small(x0, y0, x1, y1, conf, direction, kind, text,
-                       media_ref, merge_cands=None):
-    """Pure-Python fast path for small pages (n <= ~64).
+def process_page_fast(blocks, merge_cands, dd_cands):
+    """Pure-Python fast path for small pages (n <= ~64), candidate-driven.
 
     At typical page sizes (10-40 blocks) numpy's per-call dispatch on
     tiny pairwise matrices costs more than tight Python loops over
     primitive floats (measured ~3x).  Bit-parity with the numpy path
-    and the oracle is trivial: identical IEEE doubles, identical
-    expression order, and CPython's stable list.sort.  Args are plain
-    Python lists.
+    and the oracle: identical IEEE doubles, identical expression order,
+    CPython's stable list.sort.
 
-    ``merge_cands`` (optional): precomputed merge-candidate pairs
-    (i<j arrival-order local indices passing the J3 predicate,
-    batch-vectorized in extract.py).  When given, the O(n^2) merge scan
-    collapses to a walk over those pairs — the greedy used-state
-    semantics are identical because candidates arrive in the same
-    (i asc, j asc) order the nested loop visits.
-    """
-    n = len(x0)
+    ``blocks``: list of 10-tuples (x0, y0, x1, y1, conf, direction,
+    kind, text, media_ref, gidx) in arrival order — pre-zipped ONCE per
+    Arrow batch by extract.py (one list slice per page instead of nine).
+    ``gidx`` is the batch-global span index; merged blocks get fresh
+    negative ids.
+
+    ``merge_cands``: merge-candidate pairs (i<j LOCAL indices passing
+    the J3 predicate, batch-vectorized in extract.py) or None when the
+    page has none.  The greedy used-state semantics equal the reference
+    nested loop because candidates arrive in the same (i asc, j asc)
+    visit order.
+
+    ``dd_cands``: duplicate-removal candidate pairs (small_gidx,
+    large_gidx with own-ratio >= REMOVE_THRESHOLD and strictly smaller
+    area, batch-vectorized).  Valid for blocks whose geometry the merge
+    stage did not touch; pairs involving post-merge geometry are
+    recomputed here — O(n_merged * k) instead of O(k^2) (round-2 perf:
+    the full dedupe rescan was ~30%% of the kernel on merge-bearing
+    pages, which the planted dup-pair degeneracies make ~37%% of all
+    pages)."""
+    n = len(blocks)
     stats = {"merged_away": 0, "dedup_removed": 0, "filtered": 0}
     if n == 0:
         return [], [], [], [], stats
 
-    # block tuple: (x0, y0, x1, y1, conf, direction, kind, text, ref)
-    blocks = list(zip(x0, y0, x1, y1, conf, direction, kind, text,
-                      media_ref))
-
     # ---- merge (J3), /root/reference/text_block_sorter.py:178-240 ----
-    if n > 1 and merge_cands is not None:
+    new_blocks = None
+    if n > 1 and merge_cands:
         cand_js: dict[int, list[int]] = {}
         for i, j in merge_cands:
             cand_js.setdefault(i, []).append(j)
         merged = []
+        new_blocks = []
         used = [False] * n
+        neg = -1
         for i in range(n):
             if used[i]:
                 continue
@@ -160,57 +175,14 @@ def process_page_small(x0, y0, x1, y1, conf, direction, kind, text,
                 base = max(cand, key=lambda b: b[4])
                 longest = max(cand, key=lambda b: len(b[7]))[7]
                 conf_m = sum(b[4] for b in cand) / len(cand)
-                merged.append((min(b[0] for b in cand),
-                               min(b[1] for b in cand),
-                               max(b[2] for b in cand),
-                               max(b[3] for b in cand),
-                               conf_m, base[5], "text", longest, None))
-        stats["merged_away"] = n - len(merged)
-    elif n > 1:
-        merged = []
-        used = [False] * n
-        for i in range(n):
-            if used[i]:
-                continue
-            used[i] = True
-            b1 = blocks[i]
-            cand = None
-            if b1[6] == "text":
-                bx0, by0, bx1, by1, _, d1 = b1[0], b1[1], b1[2], b1[3], \
-                    b1[4], b1[5]
-                a1 = (bx1 - bx0) * (by1 - by0)
-                for j in range(i + 1, n):
-                    if used[j]:
-                        continue
-                    b2 = blocks[j]
-                    if b2[6] != "text" or b2[5] != d1:
-                        continue
-                    ol = bx0 if bx0 > b2[0] else b2[0]
-                    ot = by0 if by0 > b2[1] else b2[1]
-                    orr = bx1 if bx1 < b2[2] else b2[2]
-                    ob = by1 if by1 < b2[3] else b2[3]
-                    if ol >= orr or ot >= ob:
-                        continue
-                    a2 = (b2[2] - b2[0]) * (b2[3] - b2[1])
-                    smaller = a1 if a1 < a2 else a2
-                    if smaller <= 0:
-                        continue
-                    if (orr - ol) * (ob - ot) / smaller >= MERGE_THRESHOLD:
-                        if cand is None:
-                            cand = [b1]
-                        cand.append(b2)
-                        used[j] = True
-            if cand is None:
-                merged.append(b1)
-            else:
-                base = max(cand, key=lambda b: b[4])
-                longest = max(cand, key=lambda b: len(b[7]))[7]
-                conf_m = sum(b[4] for b in cand) / len(cand)
-                merged.append((min(b[0] for b in cand),
-                               min(b[1] for b in cand),
-                               max(b[2] for b in cand),
-                               max(b[3] for b in cand),
-                               conf_m, base[5], "text", longest, None))
+                nb = (min(b[0] for b in cand),
+                      min(b[1] for b in cand),
+                      max(b[2] for b in cand),
+                      max(b[3] for b in cand),
+                      conf_m, base[5], "text", longest, None, neg)
+                neg -= 1
+                merged.append(nb)
+                new_blocks.append(nb)
         stats["merged_away"] = n - len(merged)
     else:
         merged = blocks
@@ -234,9 +206,13 @@ def process_page_small(x0, y0, x1, y1, conf, direction, kind, text,
                     break
             else:
                 cols.append([b])
+        # itemgetter + singleton guards: same keys, same stable sort,
+        # ~2x less per-call overhead than a lambda on tiny lists
         for col in cols:
-            col.sort(key=lambda b: b[1])
-        cols.sort(key=lambda col: -((col[0][0] + col[0][2]) / 2))
+            if len(col) > 1:
+                col.sort(key=_KEY_Y0)
+        if len(cols) > 1:
+            cols.sort(key=lambda col: -((col[0][0] + col[0][2]) / 2))
         return [b for col in cols for b in col]
 
     def _sort_h(bs):
@@ -255,8 +231,10 @@ def process_page_small(x0, y0, x1, y1, conf, direction, kind, text,
             else:
                 rows.append([b])
         for row in rows:
-            row.sort(key=lambda b: b[0])
-        rows.sort(key=lambda row: (row[0][1] + row[0][3]) / 2)
+            if len(row) > 1:
+                row.sort(key=_KEY_X0)
+        if len(rows) > 1:
+            rows.sort(key=lambda row: (row[0][1] + row[0][3]) / 2)
         return [b for row in rows for b in row]
 
     if vert and horiz:
@@ -270,148 +248,52 @@ def process_page_small(x0, y0, x1, y1, conf, direction, kind, text,
         final = _sort_h(horiz)
 
     # ---- dedupe (J2), /root/reference/data_structures.py:136-176 ----
+    # candidate-driven: only the greedy state machine is order-dependent
+    # (SURVEY.md §2.5); the pair predicates are batch-precomputed for
+    # untouched geometry and recomputed only around merged blocks.
     k = len(final)
     removed = [False] * k
-    if k > 1:
-        areas = [(b[2] - b[0]) * (b[3] - b[1]) for b in final]
-        for i in range(k):
-            if removed[i]:
-                continue
-            ai = areas[i]
-            if ai == 0:
-                continue  # own-ratio is defined 0 -> never removed
-            bi = final[i]
-            for j in range(k):
-                if i == j or removed[j] or not ai < areas[j]:
-                    continue
-                bj = final[j]
-                ix0 = bi[0] if bi[0] > bj[0] else bj[0]
-                iy0 = bi[1] if bi[1] > bj[1] else bj[1]
-                ix1 = bi[2] if bi[2] < bj[2] else bj[2]
-                iy1 = bi[3] if bi[3] < bj[3] else bj[3]
-                if ix0 < ix1 and iy0 < iy1:
-                    if (ix1 - ix0) * (iy1 - iy0) / ai >= REMOVE_THRESHOLD:
-                        removed[i] = True
-                        break
-        stats["dedup_removed"] = sum(removed)
-
-    # ---- sink filters: text spans only ----
-    kinds, texts, refs, orders = [], [], [], []
-    for a in range(k):
-        if removed[a]:
-            continue
-        b = final[a]
-        if b[6] == "text":
-            t = b[7]
-            if not t.strip():
-                stats["filtered"] += 1
-                continue
-            if (b[2] - b[0]) * PT_SCALE < 1 or (b[3] - b[1]) * PT_SCALE < 1:
-                stats["filtered"] += 1
-                continue
-        kinds.append(b[6])
-        texts.append(b[7])
-        refs.append(b[8])
-        orders.append(a + 1)
-    return kinds, texts, refs, orders, stats
-
-
-def process_page_sparse(x0, y0, x1, y1, conf, direction, kind, text,
-                        media_ref, dd_cands):
-    """Fast path for pages with NO merge-candidate pairs (the vast
-    majority): merge is a no-op by construction, and duplicate-removal
-    candidates arrive precomputed (``dd_cands``: arrival-order local
-    index pairs (small, large) with own-ratio >= REMOVE_THRESHOLD and
-    area_small < area_large, batch-vectorized in extract.py).  Only the
-    greedy state machine — which is order-dependent and cannot be
-    vectorized (SURVEY.md §2.5) — runs per page, over the handful of
-    candidate pairs instead of all n^2.
-
-    Bit-parity with process_page_small: identical sort expressions, and
-    the dedupe scan consumes candidates in the same (i asc, j asc)
-    sorted-position order as the full O(n^2) loop.
-    """
-    n = len(x0)
-    stats = {"merged_away": 0, "dedup_removed": 0, "filtered": 0}
-    if n == 0:
-        return [], [], [], [], stats
-
-    # block tuple: (x0, y0, x1, y1, conf, direction, kind, text, ref, idx)
-    blocks = list(zip(x0, y0, x1, y1, conf, direction, kind, text,
-                      media_ref, range(n)))
-
-    vert = [b for b in blocks if b[5] == "vertical"]
-    horiz = [b for b in blocks if b[5] == "horizontal"]
-
-    def _sort_v(bs):
-        cols = []
-        for b in bs:
-            for col in cols:
-                s = col[0]
-                lo = b[0] if b[0] > s[0] else s[0]
-                hi = b[2] if b[2] < s[2] else s[2]
-                ov = hi - lo
-                if ov < 0:
-                    ov = 0
-                if ov >= (b[2] - b[0]) * 0.5 or ov >= (s[2] - s[0]) * 0.5:
-                    col.append(b)
-                    break
-            else:
-                cols.append([b])
-        for col in cols:
-            col.sort(key=lambda b: b[1])
-        cols.sort(key=lambda col: -((col[0][0] + col[0][2]) / 2))
-        return [b for col in cols for b in col]
-
-    def _sort_h(bs):
-        rows = []
-        for b in bs:
-            for row in rows:
-                s = row[0]
-                lo = b[1] if b[1] > s[1] else s[1]
-                hi = b[3] if b[3] < s[3] else s[3]
-                ov = hi - lo
-                if ov < 0:
-                    ov = 0
-                if ov >= (b[3] - b[1]) * 0.5 or ov >= (s[3] - s[1]) * 0.5:
-                    row.append(b)
-                    break
-            else:
-                rows.append([b])
-        for row in rows:
-            row.sort(key=lambda b: b[0])
-        rows.sort(key=lambda row: (row[0][1] + row[0][3]) / 2)
-        return [b for row in rows for b in row]
-
-    if vert and horiz:
-        v_top = min(b[1] for b in vert)
-        h_top = min(b[1] for b in horiz)
-        final = _sort_v(vert) + _sort_h(horiz) if v_top <= h_top \
-            else _sort_h(horiz) + _sort_v(vert)
-    elif vert:
-        final = _sort_v(vert)
-    else:
-        final = _sort_h(horiz)
-
-    k = len(final)
-    removed = [False] * k
-    if dd_cands:
+    if k > 1 and (dd_cands or new_blocks):
         pos_of = {b[9]: p for p, b in enumerate(final)}
-        # directed candidates in sorted coordinates, grouped per small
         by_small: dict[int, list[int]] = {}
-        for sm, lg in dd_cands:
-            ps = pos_of.get(sm)
-            pl = pos_of.get(lg)
-            if ps is not None and pl is not None:
-                by_small.setdefault(ps, []).append(pl)
+        if dd_cands:
+            for sm, lg in dd_cands:
+                ps = pos_of.get(sm)
+                pl = pos_of.get(lg)
+                if ps is not None and pl is not None:
+                    by_small.setdefault(ps, []).append(pl)
+        if new_blocks:
+            for b in new_blocks:
+                p = pos_of[b[9]]
+                bx0, by0, bx1, by1 = b[0], b[1], b[2], b[3]
+                ab = (bx1 - bx0) * (by1 - by0)
+                for q, o in enumerate(final):
+                    if q == p or (o[9] < 0 and o[9] > b[9]):
+                        continue  # merged-merged pair handled once
+                    ol = bx0 if bx0 > o[0] else o[0]
+                    ot = by0 if by0 > o[1] else o[1]
+                    orr = bx1 if bx1 < o[2] else o[2]
+                    ob = by1 if by1 < o[3] else o[3]
+                    if ol >= orr or ot >= ob:
+                        continue
+                    ao = (o[2] - o[0]) * (o[3] - o[1])
+                    inter = (orr - ol) * (ob - ot)
+                    if ab != 0 and ab < ao \
+                            and inter / ab >= REMOVE_THRESHOLD:
+                        by_small.setdefault(p, []).append(q)
+                    if ao != 0 and ao < ab \
+                            and inter / ao >= REMOVE_THRESHOLD:
+                        by_small.setdefault(q, []).append(p)
         for i in sorted(by_small):
-            # the full scan visits j ascending; first surviving j wins
+            # the full O(k^2) scan visits j ascending; first surviving
+            # j wins (removed-at-visit-time state reproduced exactly)
             for j in sorted(by_small[i]):
                 if not removed[j]:
                     removed[i] = True
                     break
         stats["dedup_removed"] = sum(removed)
 
+    # ---- sink filters: text spans only ----
     kinds, texts, refs, orders = [], [], [], []
     for a in range(k):
         if removed[a]:

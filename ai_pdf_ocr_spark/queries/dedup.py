@@ -89,8 +89,11 @@ def token_masks(spark, d):
     vocab_df = tok.select("tok").distinct().persist()
     n_vocab = vocab_df.count()  # bounded: |vocab| rows
     n_chunks = max(1, (n_vocab + 63) // 64)
+    # partitionBy(lit) = deliberate single partition over |vocab| rows
+    # (and no WindowExec "no partition defined" log spam)
     vocab = vocab_df.select(
-        "tok", (F.row_number().over(Window.orderBy("tok")) - 1).alias("tid"))
+        "tok", (F.row_number().over(
+            Window.partitionBy(F.lit(0)).orderBy("tok")) - 1).alias("tid"))
     mask_aggs = [
         F.bit_or(
             F.when(F.floor(F.col("tid") / 64) == c,
