@@ -37,7 +37,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-FIXTURE_DIR = "/root/repo/fixtures/expected"
+def _fixture_dir() -> str:
+    # repo-root fixtures/ when running from a checkout; the shipped
+    # --py-files zip has no fixtures (oracles run driver-side only)
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cand = os.path.join(root, "fixtures", "expected")
+    return cand if os.path.isdir(cand) else "/root/repo/fixtures/expected"
+
+
+FIXTURE_DIR = _fixture_dir()
 
 
 def fixture_sql(name: str) -> str:

@@ -28,6 +28,17 @@ def _tokens(col):
                     lambda t: F.length(t) > 0)
 
 
+def _spread(d, col="doc_id"):
+    """Hash-repartition to defaultParallelism before expression-heavy
+    per-row work.  The testdata corpus is ONE small parquet file -> the
+    scan is a single task and every downstream narrow stage runs on one
+    core (measured: the sf0.1 shingle stage ran 1/32 cores, 3.6s).  At
+    real scale multi-file inputs split naturally and Catalyst elides
+    the exchange when partitioning already matches."""
+    sc = d.sparkSession.sparkContext
+    return d.repartition(sc.defaultParallelism, col)
+
+
 # ------------------------------------------------------------- exact
 @register("dedup_exact", sql="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
@@ -133,7 +144,10 @@ def triangle_self_join(df, block_cols, id_col, n_salt):
     appears exactly once (use least/greatest on ``id_col`` for a
     canonical pair order)."""
     part = F.pmod(F.xxhash64(id_col), F.lit(n_salt)).cast("int")
-    base = df.withColumn("_p", part)
+    # materialize once: a self-join recomputes the (possibly expensive)
+    # upstream of BOTH sides otherwise — broadcast sides can't reuse
+    # the probe side's exchange
+    base = df.withColumn("_p", part).localCheckpoint(eager=False)
     left = base.withColumn("_kp", F.col("_p")).withColumn(
         "_kq", F.explode(F.sequence(F.col("_p"), F.lit(n_salt - 1)))) \
         .alias("l")
@@ -171,7 +185,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     Exact all-pairs is still Ω(n²/S) per block by definition — at 10^12
     docs use ``dedup_jaccard_verified`` (MinHash-LSH candidates ->
     exact bitmask verify on candidates only, same predicate)."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents"))
     masks, n_chunks = token_masks(spark, d)
     joined = triangle_self_join(masks, ["lang"], "doc_id", _JACCARD_SALT)
     jac = _mask_jaccard(n_chunks)
@@ -233,7 +247,13 @@ def _minhash_banded(items_df, item_col, n_hashes, n_bands, band_cap):
 def _band_pairs(banded):
     """Distinct (d1 < d2) candidate pairs from band-bucket co-members.
     Only (band, band_key, doc_id) rows shuffle; output is bounded by
-    bands * C(BAND_CAP, 2) per bucket thanks to the cap."""
+    bands * C(BAND_CAP, 2) per bucket thanks to the cap.
+
+    The lazy localCheckpoint materializes the banded membership ONCE —
+    a self-join otherwise recomputes the whole shingle->signature
+    pipeline on both sides (measured: 0 reused exchanges, the broadcast
+    side cannot reuse the probe side's shuffle)."""
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -253,15 +273,21 @@ def dedup_minhash_lsh(spark, sf_dir):
 
     Oracle: pure-Python XXH64 twin (tests/oracle_sketches.py) via
     gen_fixtures.py — DuckDB has no xxhash64."""
-    d = load(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    d = _spread(load(spark, sf_dir, "documents"))
+    # materialize toks as a column FIRST: referencing the raw _tokens
+    # expression inside the transform lambda made Catalyst re-tokenize
+    # the document once per shingle index (O(len^2) string work,
+    # measured 3.6s single-task at sf0.1); the Generate boundary keeps
+    # the projection from being collapsed back into the lambda
+    tokd = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     # word 3-gram shingles via transform over an index range (array HOFs,
     # no explode until the shingle stream is final)
     shingles = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
-    sh = (d.select("doc_id", F.explode(F.array_distinct(shingles))
-                   .alias("shingle"))
+    sh = (tokd.select("doc_id", F.explode(F.array_distinct(shingles))
+                      .alias("shingle"))
           .where(F.length("shingle") > 0))
     banded = _minhash_banded(sh, "shingle", N_HASHES, N_BANDS, BAND_CAP)
     return _band_pairs(banded)
@@ -292,13 +318,14 @@ def dedup_jaccard_verified(spark, sf_dir):
     mask join per candidate pair.  Recall vs the exact operator is
     asserted >= 0.95 in tests/test_queries.py (2-row bands keep
     P(miss at the 0.5 threshold) ~ 1%)."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents"))
     tok = d.select("doc_id",
                    F.explode(F.array_distinct(_tokens(F.col("text"))))
                    .alias("tok"))
     banded = _minhash_banded(tok, "tok", V_HASHES, V_BANDS, V_BAND_CAP)
     cands = _band_pairs(banded)
     masks, n_chunks = token_masks(spark, d)
+    masks = masks.localCheckpoint(eager=False)  # joined on both sides
     left = masks.alias("l")
     right = masks.alias("r")
     jac = _mask_jaccard(n_chunks)
@@ -336,7 +363,7 @@ def _simhash_sigs(d):
 @register("dedup_simhash", sql=fixture_sql("dedup_simhash"))
 def dedup_simhash(spark, sf_dir):
     """64-bit SimHash per document (oracle: pure-Python XXH64 twin)."""
-    return _simhash_sigs(load(spark, sf_dir, "documents"))
+    return _simhash_sigs(_spread(load(spark, sf_dir, "documents")))
 
 
 SIMHASH_MAX_HAMMING = 3
@@ -352,7 +379,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     in at least one band); no cap is applied because a cap would break
     that guarantee — the quadratic-bucket defense for SimHash at scale
     is splitting hot buckets by a 5th band, not dropping them."""
-    sigs = _simhash_sigs(load(spark, sf_dir, "documents"))
+    sigs = _simhash_sigs(_spread(load(spark, sf_dir, "documents")))
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.shiftrightunsigned(F.col("simhash"), 16 * b)

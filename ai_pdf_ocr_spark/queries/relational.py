@@ -211,7 +211,14 @@ FROM documents WHERE doc_id < 100 GROUP BY lang
 """)
 def a1_ordered_text_concat(spark, sf_dir):
     """Order-preserving string aggregation (A1/A5/F4: ordered concat_ws).
-    Spark: sort_array(collect_list(struct)) keeps it deterministic."""
+    Spark: sort_array(collect_list(struct)) keeps it deterministic.
+
+    SCALE NOTE (VERDICT r1): collect_list state is O(group size) — legal
+    here ONLY because the ``doc_id < 100`` predicate bounds every group
+    to <=100 16-char prefixes.  For unbounded groups use the array-HOF
+    form over an already-grouped array column (engine/pipeline.py::
+    doc_stats) or a repartition+sortWithinPartitions mapPartitions agg —
+    never an unbounded collect_list."""
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return (
         d.select("lang", F.struct("doc_id",

@@ -62,16 +62,10 @@ def test_query_matches_duckdb(spark, ddb, name):
     assert _norm_rows(s_cols, s_rows) == _norm_rows(d_cols, d), name
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, name):
-    q = _all()[name]
-    df = q.fn(spark, SF_DIR)
-    rows = df.collect()
-    assert len(rows) >= 0
-    assert len(df.columns) > 0
-    # run twice -> deterministic output
-    again = [tuple(r) for r in q.fn(spark, SF_DIR).collect()]
-    assert sorted(map(tuple, (tuple(r) for r in rows))) == sorted(again)
+def test_no_rows_only_queries_remain():
+    """Round-2 invariant: EVERY registered query has a DuckDB oracle
+    (plain SQL or fixture-backed) — the r1 rows-only tier is gone."""
+    assert ROWS_ONLY == []
 
 
 def test_lsh_structure_vs_bruteforce(spark):
