@@ -65,6 +65,7 @@ def fixture_sql(name: str) -> str:
 
 def all_queries() -> dict[str, Q]:
     # import side-effect registration
-    from . import dedup, multimodal, relational, similarity, text_analysis  # noqa: F401
+    from . import (corpus_ops, dedup, multimodal, relational,  # noqa: F401
+                   similarity, text_analysis)
     from .. import flagship  # noqa: F401
     return dict(REGISTRY)

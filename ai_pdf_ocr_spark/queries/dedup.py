@@ -442,23 +442,29 @@ def dedup_cluster_resolve(spark, sf_dir):
     ~2, so plain propagation is the cheaper constant.)"""
     d = load(spark, sf_dir, "documents")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    sc = spark.sparkContext
     edges = (pairs.select(F.col("d1").alias("s"), F.col("d2").alias("t"))
              .union(pairs.select(F.col("d2").alias("s"),
                                  F.col("d1").alias("t")))
-             .distinct().localCheckpoint(eager=True))
+             .distinct()
+             # partition once on the per-round join key so each round
+             # scans co-located edges instead of re-exchanging them
+             .repartition(sc.defaultParallelism, "t")
+             .localCheckpoint(eager=True))
     labels = d.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(64):  # diameter bound; converges in 3-4 rounds here
         nbr = (edges.join(labels, edges.t == labels.doc_id)
                .groupBy("s").agg(F.min("label").alias("nbr_min")))
+        # carry the convergence flag INSIDE the round's frame: counting
+        # it reads the materialized checkpoint, no extra old-vs-new join
         new_labels = (
             labels.join(nbr, labels.doc_id == nbr.s, "left")
             .select(labels.doc_id,
-                    F.least("label", "nbr_min").alias("label"))
+                    F.least("label", "nbr_min").alias("label"),
+                    (F.col("nbr_min") < F.col("label")).alias("_chg"))
             .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .where(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
+        changed = new_labels.where(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     comp_sz = labels.groupBy("label").agg(

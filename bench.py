@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_jaccard_verified",
     "dedup_cluster_resolve",
     "dedup_minhash_lsh",
+    "decontaminate_ngram_overlap",
     "text_token_count",
     "text_quality_score",
     "ann_bruteforce_topk",
