@@ -128,3 +128,62 @@ def test_decode_fast_path_matches_legacy_pandas():
             assert (a.view("u8") == b.view("u8")).all(), c
         else:
             assert list(a) == list(b), c
+
+
+# ---- hypothesis fuzz: decode grammar + full-pipeline parity --------
+try:
+    from hypothesis import given, settings, strategies as st
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _dirs = st.sampled_from(
+        ["horizontal", "vertical", "diagonal", "unknown", "", "h v"])
+    _num = st.floats(min_value=-1e4, max_value=1e4,
+                     allow_nan=False, allow_infinity=False)
+
+    @st.composite
+    def _payload(draw):
+        """Mix of grammar-valid, near-valid, and arbitrary payloads."""
+        mode = draw(st.integers(0, 4))
+        if mode == 0:  # arbitrary text, any bytes except surrogates
+            return draw(st.text(max_size=40))
+        page = draw(st.integers(-2, 60))
+        coords = ",".join(f"{draw(_num):.1f}"
+                          for _ in range(draw(st.integers(2, 5))))
+        head = f"{page};{coords}"
+        if mode >= 2:
+            conf = draw(st.sampled_from(
+                ["", "0.9", "1.0000", "nan", "bad", "-3"]))
+            head += f";{conf}"
+        if mode >= 3:
+            head += f";{draw(_dirs)}"
+        content = draw(st.text(max_size=30))
+        sep = draw(st.sampled_from(["|", "", "||"]))
+        return head + sep + content
+
+    @st.composite
+    def _doc(draw):
+        spans = []
+        for i in range(draw(st.integers(0, 12))):
+            kind = draw(st.sampled_from(
+                ["raw_text", "raw_media", "junk", ""]))
+            ref = (f"asset-{i:04x}"
+                   if kind == "raw_media" and draw(st.booleans()) else None)
+            spans.append({"kind": kind, "text": draw(_payload()),
+                          "media_ref": ref, "offset": i})
+        if draw(st.booleans()):
+            spans.reverse()  # arrival order comes from offset, not array
+        return {"doc_id": "fuzz-0001", "spans": spans}
+
+    @settings(max_examples=120, deadline=None)
+    @given(_doc())
+    def test_fuzz_payload_parity(doc):
+        """Any payload the grammar may see — malformed heads, bad
+        floats, degenerate directions, empty/shuffled spans — must
+        produce the SAME span sequence from the vectorized kernel and
+        the loop oracle (and never crash either)."""
+        got = _run_kernel([doc])["fuzz-0001"]
+        want = O.extract_document(doc["spans"])
+        assert got == want
