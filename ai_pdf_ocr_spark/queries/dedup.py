@@ -443,10 +443,12 @@ def dedup_cluster_resolve(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
     sc = spark.sparkContext
+    # no distinct: the triangle join emits each unordered pair exactly
+    # once (d1 < d2), so the symmetrized union is already duplicate-free
+    # — a distinct here would shuffle all |E| rows once more for nothing
     edges = (pairs.select(F.col("d1").alias("s"), F.col("d2").alias("t"))
              .union(pairs.select(F.col("d2").alias("s"),
                                  F.col("d1").alias("t")))
-             .distinct()
              # partition once on the per-round join key so each round
              # scans co-located edges instead of re-exchanging them
              .repartition(sc.defaultParallelism, "t")
