@@ -18,6 +18,11 @@ invocation runs on local[N], YARN, or k8s.
 
 ``--generate N`` synthesizes the deterministic interleaved corpus on
 the executors instead of reading ``--input`` (demo / bench runs).
+
+``--stream-input DIR`` switches to the Structured Streaming ingest
+mode (engine/streaming.py): drain every file the stream checkpoint has
+not yet seen from DIR (availableNow), then exit — cron it for
+continuous file-arrival extraction with exactly-once file tracking.
 """
 
 from __future__ import annotations
@@ -35,6 +40,10 @@ def parse_args(argv):
     src.add_argument("--generate", type=int, default=0,
                      help="synthesize N docs on the executors instead of "
                           "reading --input")
+    src.add_argument("--stream-input",
+                     help="streaming mode: drain new files from this "
+                          "directory (availableNow) instead of a batch "
+                          "--input read")
     p.add_argument("--output", required=True,
                    help="table-store root (documents_extracted/ + "
                         "checkpoint/ land here)")
@@ -50,9 +59,9 @@ def parse_args(argv):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
-    if not args.input and not args.generate:
-        print("error: one of --input / --generate is required",
-              file=sys.stderr)
+    if not args.input and not args.generate and not args.stream_input:
+        print("error: one of --input / --generate / --stream-input is "
+              "required", file=sys.stderr)
         return 2
 
     from pyspark.sql import SparkSession
@@ -68,6 +77,16 @@ def main(argv=None) -> int:
 
     from ai_pdf_ocr_spark.engine.checkpoint import run_extraction
     from ai_pdf_ocr_spark.engine.io import TableStore
+
+    if args.stream_input:
+        from ai_pdf_ocr_spark.engine.streaming import stream_extract
+        p = args.partitions or 2 * spark.sparkContext.defaultParallelism
+        store = TableStore(spark, args.output)
+        summary = stream_extract(spark, args.stream_input, store,
+                                 args.run_id, p, buckets=args.buckets)
+        print(json.dumps({"run_id": args.run_id, **summary}))
+        spark.stop()
+        return 0
 
     if args.generate:
         from ai_pdf_ocr_spark.flagship import synthetic_documents_distributed

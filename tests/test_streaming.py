@@ -1,0 +1,75 @@
+"""Structured Streaming ingest: file-arrival extraction with
+exactly-once file tracking and idempotent epoch replay.
+
+Scenario: corpus files land in two waves; each ``stream_extract`` call
+drains what is new (availableNow trigger).  Asserts:
+ - wave 1 extracts only wave-1 docs, span sequences match the oracle;
+ - wave 2 processes ONLY the new files (streaming checkpoint), union
+   output covers the whole corpus exactly once;
+ - a third drain with nothing new runs zero epochs and changes nothing;
+ - per-epoch lineage rows land in the shared checkpoint table.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_pdf_ocr_spark.engine.io import TableStore
+from ai_pdf_ocr_spark.engine.pipeline import documents_df
+from ai_pdf_ocr_spark.engine.streaming import (read_stream_extracted,
+                                               stream_extract)
+from ai_pdf_ocr_spark.fixtures.generate import make_documents
+from tests import oracle as O
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_documents(40, seed=77)
+
+
+def _land(spark, docs, input_dir):
+    documents_df(spark, docs).coalesce(2).write.mode("append") \
+        .parquet(input_dir)
+
+
+def _spans_by_doc(df):
+    rows = df.select("doc_id", "spans").collect()
+    return {r.doc_id: [(s.kind, s.text, s.media_ref, s.order)
+                       for s in r.spans] for r in rows}
+
+
+def test_stream_two_waves_then_idle(spark, tmp_path, corpus):
+    input_dir = str(tmp_path / "landing")
+    store = TableStore(spark, str(tmp_path / "store"))
+    wave1, wave2 = corpus[:25], corpus[25:]
+
+    _land(spark, wave1, input_dir)
+    r1 = stream_extract(spark, input_dir, store, "s1", num_partitions=4)
+    assert r1["epochs_run"] >= 1
+    got = _spans_by_doc(read_stream_extracted(spark, store))
+    assert set(got) == {d["doc_id"] for d in wave1}
+
+    _land(spark, wave2, input_dir)
+    r2 = stream_extract(spark, input_dir, store, "s2", num_partitions=4)
+    assert r2["epochs_run"] >= 1
+    got = _spans_by_doc(read_stream_extracted(spark, store))
+    assert set(got) == {d["doc_id"] for d in corpus}  # once each, no dups
+
+    # nothing new -> zero epochs, output unchanged
+    r3 = stream_extract(spark, input_dir, store, "s3", num_partitions=4)
+    assert r3["epochs_run"] == 0
+    again = _spans_by_doc(read_stream_extracted(spark, store))
+    assert again == got
+
+    # span-sequence parity vs the pure oracle over the whole corpus
+    want = O.extract_corpus(corpus)
+    for doc_id, seq in want.items():
+        assert got[doc_id] == seq, doc_id
+
+    # per-epoch lineage rows exist for both waves
+    ckpt = store.read_checkpoint()
+    run_ids = {r.run_id for r in ckpt.select("run_id").distinct().collect()}
+    assert any(r.startswith("s1-e") for r in run_ids)
+    assert any(r.startswith("s2-e") for r in run_ids)
+    total = sum(r.doc_count for r in ckpt.collect())
+    assert total == len(corpus)
