@@ -109,7 +109,12 @@ def _cluster_sort(idx: np.ndarray, ovmat: np.ndarray,
     return out
 
 
-SMALL_PAGE = 64
+# fast-path cutoff: the candidate-driven pure-Python path wins through
+# ~160 blocks/page (r2 A/B/A sweep: 64->3388, 192->3493-3596 docs/s on
+# the heavy-tail corpus whose p99 page is 103, max 163); the numpy
+# matrix path takes over for genuinely huge pages where O(n^2) Python
+# pair walks would dominate
+SMALL_PAGE = 160
 
 
 def process_page_fast(blocks, merge_cands, dd_cands):
