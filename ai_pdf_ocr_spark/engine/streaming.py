@@ -38,9 +38,9 @@ STREAM_TABLE = "documents_extracted_stream"
 
 def _process_epoch(spark: SparkSession, store: TableStore, run_id: str,
                    num_partitions: int, buckets: int,
-                   batch_df: DataFrame, epoch_id: int) -> None:
+                   batch_df: DataFrame, epoch_id: int) -> bool:
     if not batch_df.take(1):
-        return
+        return False
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     assignment = compute_assignment(batch_df, num_partitions, buckets)
     binned = assign_bins(batch_df, num_partitions, buckets,
@@ -53,7 +53,17 @@ def _process_epoch(spark: SparkSession, store: TableStore, run_id: str,
     out = extracted.withColumn("epoch", F.lit(int(epoch_id)))
     (out.write.mode("overwrite").partitionBy("epoch", "bin")
         .parquet(store.path(STREAM_TABLE)))
-    # lineage from the COMMITTED files (same discipline as batch)
+    # lineage from the COMMITTED files (same discipline as batch).
+    # Idempotent under epoch replay: the append-only checkpoint table
+    # cannot rewrite rows, so a replayed epoch (same stream-checkpoint
+    # dir -> same epoch_id, regardless of the caller's run_id) SKIPS
+    # the lineage append if any '-e<epoch>' rows already exist — the
+    # data rewrite above already replaced the half-written partitions.
+    existing = (store.read_checkpoint()
+                .where(F.col("run_id").endswith(f"-e{int(epoch_id)}"))
+                .take(1))
+    if existing:
+        return True
     committed = (spark.read.parquet(store.path(STREAM_TABLE))
                  .where(F.col("epoch") == int(epoch_id)))
     rows = (committed.groupBy("bin")
@@ -72,6 +82,7 @@ def _process_epoch(spark: SparkSession, store: TableStore, run_id: str,
                     "dedup_removed", "kernel_version", "wall_time_s",
                     "status"))
     store.append_checkpoint(rows)
+    return True
 
 
 def stream_extract(spark: SparkSession, input_path: str, store: TableStore,
@@ -84,9 +95,9 @@ def stream_extract(spark: SparkSession, input_path: str, store: TableStore,
     seen = {"n": 0}
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        _process_epoch(spark, store, run_id, num_partitions, buckets,
-                       batch_df, epoch_id)
-        seen["n"] += 1
+        if _process_epoch(spark, store, run_id, num_partitions, buckets,
+                          batch_df, epoch_id):
+            seen["n"] += 1  # only epochs that actually produced output
 
     stream = (spark.readStream.schema(schemas.DOCUMENTS)
               .parquet(input_path))

@@ -18,7 +18,7 @@ from .engine.partitioning import weighted_repartition
 from .engine.pipeline import (doc_stats, documents_df, extract_documents,
                               extracted_spans_flat)
 from .fixtures.generate import make_documents
-from .queries import FIXTURE_DIR, fixture_sql, register
+from .queries import FIXTURE_DIR, INPUT_DIR, fixture_sql, register
 
 _SF_DOCS = {"sf0.001": 200, "sf0.01": 500, "sf0.1": 2000}
 
@@ -141,7 +141,7 @@ SELECT a.mime,
        CAST(COUNT(*) AS BIGINT) AS n_links,
        CAST(COUNT(DISTINCT sp.media_ref) AS BIGINT) AS n_assets,
        CAST(SUM(a.bytes) AS BIGINT) AS total_bytes
-FROM sp JOIN read_parquet('{FIXTURE_DIR}/media_assets.parquet') a
+FROM sp JOIN read_parquet('{INPUT_DIR}/media_assets.parquet') a
   ON sp.media_ref = a.media_ref
 WHERE sp.kind = 'raw_media'
 GROUP BY a.mime
@@ -153,7 +153,7 @@ def j_media_asset_join(spark, sf_dir):
     a small table -> broadcast hash join; the raw-span side never
     shuffles for the join, only for the tiny per-mime aggregate."""
     docs = synthetic_documents(spark, sf_dir)
-    assets = spark.read.parquet(f"{FIXTURE_DIR}/media_assets.parquet")
+    assets = spark.read.parquet(f"{INPUT_DIR}/media_assets.parquet")
     sp = (docs.select(F.explode("spans").alias("s"))
           .where(F.col("s.kind") == "raw_media")
           .select(F.col("s.media_ref").alias("media_ref")))

@@ -96,12 +96,10 @@ def _extract_core(n_docs: int, counts: np.ndarray, kinds, texts, mrefs,
         # float math -> computed here once for every (i<j) pair of every
         # small page as flat numpy arrays (same expressions as
         # layout._ratio_smaller_matrix/_ratio_own_matrix).  Only the
-        # order-dependent greedy STATE MACHINES stay per-page, and they
-        # now touch just the candidate pairs:
-        #  - pages with zero merge candidates (the vast majority) take
-        #    process_page_sparse (no merge pass at all, sparse dedupe);
-        #  - pages with a merge candidate keep the exact legacy loop
-        #    (merged geometry invalidates precomputed dedupe pairs).
+        # order-dependent greedy STATE MACHINES stay per-page
+        # (process_page_fast), walking the candidate pairs; pairs whose
+        # geometry the merge stage changed are recomputed there around
+        # the merged blocks only.
         sizes = ends - starts
         merge_map: dict[int, list[tuple[int, int]]] = {}
         dd_map: dict[int, list[tuple[int, int]]] = {}

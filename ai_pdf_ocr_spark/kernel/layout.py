@@ -118,7 +118,8 @@ SMALL_PAGE = 160
 
 
 def process_page_fast(blocks, merge_cands, dd_cands):
-    """Pure-Python fast path for small pages (n <= ~64), candidate-driven.
+    """Pure-Python fast path for pages up to SMALL_PAGE blocks,
+    candidate-driven.
 
     At typical page sizes (10-40 blocks) numpy's per-call dispatch on
     tiny pairwise matrices costs more than tight Python loops over

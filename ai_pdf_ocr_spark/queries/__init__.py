@@ -37,30 +37,43 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _fixture_dir() -> str:
+def _fixture_root() -> str:
     # repo-root fixtures/ when running from a checkout; the shipped
     # --py-files zip has no fixtures (oracles run driver-side only)
     import os
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    cand = os.path.join(root, "fixtures", "expected")
-    return cand if os.path.isdir(cand) else "/root/repo/fixtures/expected"
+    cand = os.path.join(root, "fixtures")
+    return cand if os.path.isdir(cand) else "/root/repo/fixtures"
 
 
-FIXTURE_DIR = _fixture_dir()
+# expected/: oracle EXPECTED OUTPUTS (driver-side DuckDB only).
+# inputs/: small INPUT dimension tables the testdata does not ship
+# (media_assets) — a deployment would host these beside the corpus;
+# keeping them under a separate dir makes the input-vs-expected split
+# explicit (code-review r2).
+FIXTURE_DIR = _fixture_root() + "/expected"
+INPUT_DIR = _fixture_root() + "/inputs"
 
 
 def fixture_sql(name: str) -> str:
     """DuckDB oracle for operators whose expected output is materialized
     by an independent pure-Python implementation (gen_fixtures.py +
     tests/oracle_sketches.py — DuckDB has no xxhash64 and cannot express
-    the greedy layout kernel).  Fixtures carry rows for every SF, tagged
+    the greedy layout kernel).  Fixtures carry one slice per SF, tagged
     with ``_corpus`` = SUM(n_chars) of that SF's ``documents`` table, so
-    ONE static SQL string dispatches to the right slice whether the gate
-    runs at sf0.001 or sf0.01."""
-    return (f"SELECT * EXCLUDE (_corpus) "
-            f"FROM read_parquet('{FIXTURE_DIR}/{name}.parquet') "
-            f"WHERE _corpus = (SELECT SUM(n_chars) FROM documents)")
+    ONE static SQL string dispatches to the right slice at whatever SF
+    the gate runs.  An unknown marker (corpus the fixture was never
+    baked for) raises via DuckDB error() instead of silently comparing
+    against an empty slice (code-review r2)."""
+    f = f"read_parquet('{FIXTURE_DIR}/{name}.parquet')"
+    return (
+        f"SELECT * EXCLUDE (_corpus) FROM {f} WHERE _corpus = "
+        f"(SELECT CASE WHEN EXISTS (SELECT 1 FROM {f} x "
+        f"WHERE x._corpus = m.v) THEN m.v ELSE "
+        f"error('fixture {name} has no slice for this corpus marker — "
+        f"rerun gen_fixtures.py') END "
+        f"FROM (SELECT SUM(n_chars) AS v FROM documents) m)")
 
 
 def all_queries() -> dict[str, Q]:

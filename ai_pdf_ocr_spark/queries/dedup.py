@@ -97,7 +97,11 @@ def token_masks(spark, d):
     tok = d.select("doc_id", "lang",
                    F.explode(F.array_distinct(_tokens(F.col("text"))))
                    .alias("tok"))
-    vocab_df = tok.select("tok").distinct().persist()
+    # eager localCheckpoint, not persist(): computed once for the count
+    # AND the broadcast join below, and reclaimed by the ContextCleaner
+    # with the DataFrame (a persist() here leaked one cached vocab per
+    # invocation — code-review r2)
+    vocab_df = tok.select("tok").distinct().localCheckpoint(eager=True)
     n_vocab = vocab_df.count()  # bounded: |vocab| rows
     n_chunks = max(1, (n_vocab + 63) // 64)
     # partitionBy(lit) = deliberate single partition over |vocab| rows

@@ -195,8 +195,7 @@ def ann_lsh_multiprobe(spark, sf_dir):
             for b in bits:
                 mm |= 1 << b
             masks.append(mm)
-    q = (load(spark, sf_dir, "embeddings")
-         .where(F.col("vec_id") == 0)
+    q = (e.where(F.col("vec_id") == 0)
          .select(emb.alias("qe"), _bucket_sig(emb).alias("qsig")))
     probes = q.select(
         "qe",

@@ -35,9 +35,15 @@ from tests import oracle_sketches as OS  # noqa: E402
 TESTDATA = "/root/testdata"
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "fixtures", "expected")
+INPUTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "fixtures", "inputs")
 
-TEXT_SFS = ("sf0.001", "sf0.01", "sf0.1")   # corpus-shaped fixtures
-PAIR_SFS = ("sf0.001", "sf0.01")            # pure-Python pair sweeps
+TEXT_SFS = ("sf0.001", "sf0.01", "sf0.1")    # corpus-shaped fixtures
+SKETCH_SFS = ("sf0.001", "sf0.01", "sf0.1")  # minhash/simhash/ann slices
+# jaccard_verified stays at the gate SFs: its pure-Python verify is
+# quadratic-ish on the dense sf0.1 corpus; fixture_sql raises loudly if
+# the gate ever runs it at an unbaked SF
+JV_SFS = ("sf0.001", "sf0.01")
 
 MIMES = ("image/png", "image/jpeg", "video/mp4", "audio/wav")
 
@@ -68,15 +74,19 @@ SPAN_T = pa.struct([("kind", pa.string()), ("text", pa.string()),
                     ("media_ref", pa.string()), ("offset", pa.int32())])
 
 
-def _write(name: str, cols: dict, types: dict):
+def _write_to(dirname: str, name: str, cols: dict, types: dict):
     arrays, fields = [], []
     for k, v in cols.items():
         t = types[k]
         arrays.append(pa.array(v, type=t))
         fields.append(pa.field(k, t))
     pq.write_table(pa.table(arrays, schema=pa.schema(fields)),
-                   os.path.join(OUT, f"{name}.parquet"))
+                   os.path.join(dirname, f"{name}.parquet"))
     print(f"  {name}.parquet: {len(arrays[0])} rows")
+
+
+def _write(name: str, cols: dict, types: dict):
+    _write_to(OUT, name, cols, types)
 
 
 def corpus_and_extract():
@@ -136,7 +146,7 @@ def corpus_and_extract():
             "dedup_removed": pa.int64(), "filtered": pa.int64()})
     # media-asset dimension: deterministic attrs per distinct ref
     rs = sorted(refs)
-    _write("media_assets",
+    _write_to(INPUTS, "media_assets",
            {"media_ref": rs,
             "mime": [MIMES[xxhash64_str("mime:" + r) % 4] for r in rs],
             "bytes": [xxhash64_str("bytes:" + r) % 999000 + 1000
@@ -150,7 +160,7 @@ def sketches():
     sh = {k: [] for k in ("_corpus", "doc_id", "simhash")}
     shp = {k: [] for k in ("_corpus", "d1", "d2", "hamming")}
     jv = {k: [] for k in ("_corpus", "d1", "d2", "jaccard")}
-    for sf in PAIR_SFS:
+    for sf in SKETCH_SFS:
         m = marker(sf)
         docs = docs_table(sf)
         for d1, d2 in OS.minhash_lsh_pairs([(d, t) for d, _, t in docs]):
@@ -168,11 +178,12 @@ def sketches():
             shp["d1"].append(d1)
             shp["d2"].append(d2)
             shp["hamming"].append(ham)
-        for d1, d2, jac in OS.jaccard_verified_pairs(docs):
-            jv["_corpus"].append(m)
-            jv["d1"].append(d1)
-            jv["d2"].append(d2)
-            jv["jaccard"].append(jac)
+        if sf in JV_SFS:
+            for d1, d2, jac in OS.jaccard_verified_pairs(docs):
+                jv["_corpus"].append(m)
+                jv["d1"].append(d1)
+                jv["d2"].append(d2)
+                jv["jaccard"].append(jac)
     _write("dedup_minhash_lsh", mh,
            {"_corpus": pa.int64(), "d1": pa.int64(), "d2": pa.int64()})
     _write("dedup_simhash", sh,
@@ -191,7 +202,7 @@ def ann():
                                 "label", "cos_q")}
     probe = {k: [] for k in ("_corpus", "rank", "vec_id", "label",
                              "cosine")}
-    for sf in PAIR_SFS:
+    for sf in SKETCH_SFS:
         m = marker(sf)
         vecs = emb_table(sf)
         for b, rank, v, lab, c in OS.ann_lsh_bucketed_rows(vecs):
@@ -219,6 +230,7 @@ def ann():
 
 def main():
     os.makedirs(OUT, exist_ok=True)
+    os.makedirs(INPUTS, exist_ok=True)
     print("generating fixtures ->", OUT)
     corpus_and_extract()
     sketches()

@@ -139,15 +139,18 @@ def jaccard_verified_pairs(docs: list[tuple], n_hashes: int = 32,
 
 def simhash_sig(text: str) -> int | None:
     """64-bit SimHash over the token MULTISET; signed-long result.
-    None when the doc has no tokens (absent from the Spark groupBy)."""
+    None when the doc has no tokens (absent from the Spark groupBy).
+    Bit extraction via numpy int64 — exact integer math, identical to
+    the per-bit Python loop (needed to bake the sf0.1 fixture slice in
+    reasonable time)."""
+    import numpy as np
+
     toks = tokens_py(text)
     if not toks:
         return None
-    sums = [0] * 64
-    for t in toks:
-        h = xxhash64_str(t)
-        for i in range(64):
-            sums[i] += 1 if (h >> i) & 1 else -1
+    hs = np.array([xxhash64_str(t) for t in toks], dtype=np.int64)
+    bits = (hs[:, None] >> np.arange(64, dtype=np.int64)) & 1
+    sums = (2 * bits - 1).sum(axis=0)
     sig = 0
     for i in range(64):
         if sums[i] > 0:
