@@ -40,10 +40,7 @@ INPUTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 TEXT_SFS = ("sf0.001", "sf0.01", "sf0.1")    # corpus-shaped fixtures
 SKETCH_SFS = ("sf0.001", "sf0.01", "sf0.1")  # minhash/simhash/ann slices
-# jaccard_verified stays at the gate SFs: its pure-Python verify is
-# quadratic-ish on the dense sf0.1 corpus; fixture_sql raises loudly if
-# the gate ever runs it at an unbaked SF
-JV_SFS = ("sf0.001", "sf0.01")
+JV_SFS = SKETCH_SFS  # numpy-vectorized verify bakes sf0.1 in seconds
 
 MIMES = ("image/png", "image/jpeg", "video/mp4", "audio/wav")
 

@@ -110,3 +110,27 @@ def test_fixture_oracle_dtypes_match_spark(spark, name):
     for col, styp in sdf.dtypes:
         assert duck_types[col] == _ARROW_OF_SPARK[styp], \
             f"{name}.{col}: spark {styp} vs duckdb {duck_types[col]}"
+
+
+def test_jaccard_verified_vectorized_equals_loop():
+    """The numpy-vectorized verify must equal a straightforward
+    set-intersection loop bit-for-bit (same candidates, same floats)."""
+    from tests import oracle_sketches as OS
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet') "
+        f"ORDER BY doc_id").fetchall()
+    fast = OS.jaccard_verified_pairs(docs)
+    toks = {d: set(OS.tokens_py(t)) for d, _, t in docs}
+    lang = {d: lg for d, lg, _ in docs}
+    cands = OS.lsh_candidate_pairs(
+        {d: sorted(ts) for d, ts in toks.items()}, 32, 16, 1024)
+    slow = []
+    for d1, d2 in sorted(cands):
+        if lang[d1] != lang[d2]:
+            continue
+        inter = len(toks[d1] & toks[d2])
+        union = len(toks[d1]) + len(toks[d2]) - inter
+        if union and inter / union >= 0.5:
+            slow.append((d1, d2, OS.spark_round(inter / union)))
+    assert fast == sorted(slow)
