@@ -73,3 +73,20 @@ def test_stream_two_waves_then_idle(spark, tmp_path, corpus):
     assert any(r.startswith("s2-e") for r in run_ids)
     total = sum(r.doc_count for r in ckpt.collect())
     assert total == len(corpus)
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path, corpus):
+    """Simulate the crash-replay path directly: running the same epoch
+    twice must rewrite the same (epoch, bin) partitions and append the
+    lineage rows exactly once."""
+    from ai_pdf_ocr_spark.engine.streaming import _process_epoch
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    docs = documents_df(spark, corpus[:12])
+    assert _process_epoch(spark, store, "rp", 4, 4096, docs, 7) is True
+    first = _spans_by_doc(read_stream_extracted(spark, store))
+    n_ckpt = store.read_checkpoint().count()
+    # replay (streaming engine re-invokes the same epoch after a crash)
+    assert _process_epoch(spark, store, "rp2", 4, 4096, docs, 7) is True
+    assert _spans_by_doc(read_stream_extracted(spark, store)) == first
+    assert store.read_checkpoint().count() == n_ckpt  # no duplicate rows
