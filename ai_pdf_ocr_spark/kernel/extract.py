@@ -137,24 +137,41 @@ def _extract_core(n_docs: int, counts: np.ndarray, kinds, texts, mrefs,
             dd_ij = (own_i >= REMOVE_THRESHOLD) & (ai < aj)
             dd_ji = (own_j >= REMOVE_THRESHOLD) & (aj < ai)
 
+            # group candidate pairs per page WITHOUT a per-pair Python
+            # loop: hit indices are ascending, so one searchsorted +
+            # split yields each page's slice, and zip(tolist, tolist)
+            # builds the pair lists in C (the per-pair dict-append loop
+            # was the top _extract_core cost once heavy 100-160-span
+            # pages started routing through the batched stage)
+            def _per_page(hits, firsts, seconds):
+                gs = np.searchsorted(pair_off, hits, side="right") - 1
+                cut = np.nonzero(np.diff(gs))[0] + 1
+                pages = gs[np.concatenate(([0], cut))]
+                out = {}
+                for gg, ks in zip(pages, np.split(hits, cut)):
+                    out[int(pairable[gg])] = list(
+                        zip(firsts[ks].tolist(), seconds[ks].tolist()))
+                return out
+
             mg = np.nonzero(merge_cand)[0]
             if len(mg):
-                gs = np.searchsorted(pair_off, mg, side="right") - 1
-                for k, g in zip(mg, gs):
-                    merge_map.setdefault(int(pairable[g]), []).append(
-                        (int(LI[k]), int(LJ[k])))
+                merge_map = _per_page(mg, LI, LJ)
             # dedupe candidates for EVERY small page (merge-bearing ones
             # included: geometry-untouched pairs stay valid; pairs
             # around merged blocks are recomputed in process_page_fast).
             # Directed (small, large) BATCH-GLOBAL indices.
             dd = np.nonzero(dd_ij | dd_ji)[0]
             if len(dd):
+                small = np.where(dd_ij[dd], PI[dd], PJ[dd])
+                large = np.where(dd_ij[dd], PJ[dd], PI[dd])
                 gs = np.searchsorted(pair_off, dd, side="right") - 1
-                ij = dd_ij[dd]
-                for pos, (k, g) in enumerate(zip(dd, gs)):
-                    pair = (int(PI[k]), int(PJ[k])) if ij[pos] \
-                        else (int(PJ[k]), int(PI[k]))
-                    dd_map.setdefault(int(pairable[g]), []).append(pair)
+                cut = np.nonzero(np.diff(gs))[0] + 1
+                pages = gs[np.concatenate(([0], cut))]
+                bounds = np.concatenate(([0], cut, [len(dd)]))
+                for i, gg in enumerate(pages):
+                    dd_map[int(pairable[gg])] = list(
+                        zip(small[bounds[i]:bounds[i + 1]].tolist(),
+                            large[bounds[i]:bounds[i + 1]].tolist()))
 
         # one pre-zipped block-tuple list for the whole batch (tuple
         # field 9 = batch-global index, keyed by the dd candidates);
