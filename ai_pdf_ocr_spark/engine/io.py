@@ -29,11 +29,19 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 class TableStore:
-    """Directory-backed table namespace."""
+    """Directory-backed table namespace.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``codec``: parquet compression for every write (default zstd — the
+    S6 compressed-sink analog of the reference's ``garbage=4, deflate``
+    PDF save; zstd beats snappy ~30% on text-heavy span payloads at
+    similar CPU, which is storage + scan I/O at 100 TB).  Readers are
+    codec-agnostic, so mixed-codec tables from older runs stay valid."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 codec: str = "zstd"):
         self.spark = spark
         self.root = root
+        self.codec = codec
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -45,13 +53,15 @@ class TableStore:
 
     def write_extracted(self, df: DataFrame, mode: str = "append") -> None:
         (df.write.mode(mode).partitionBy("bin")
+         .option("compression", self.codec)
          .parquet(self.path("documents_extracted")))
 
     def read_extracted(self) -> DataFrame:
         return self.spark.read.parquet(self.path("documents_extracted"))
 
     def append_checkpoint(self, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self.path("checkpoint"))
+        (df.write.mode("append").option("compression", self.codec)
+         .parquet(self.path("checkpoint")))
 
     def read_checkpoint(self) -> DataFrame:
         if not self.exists("checkpoint"):

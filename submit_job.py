@@ -44,6 +44,11 @@ def parse_args(argv):
                      help="streaming mode: drain new files from this "
                           "directory (availableNow) instead of a batch "
                           "--input read")
+    p.add_argument("--input-format", choices=("parquet", "jsonl"),
+                   default="parquet",
+                   help="--input source format (default parquet; jsonl "
+                        "reads line-delimited JSON with the fixed "
+                        "documents schema, no inference pass)")
     p.add_argument("--output", required=True,
                    help="table-store root (documents_extracted/ + "
                         "checkpoint/ land here)")
@@ -93,7 +98,8 @@ def main(argv=None) -> int:
         documents = synthetic_documents_distributed(
             spark, args.generate, heavy_tail_frac=0.02)
     else:
-        documents = spark.read.parquet(args.input).select("doc_id", "spans")
+        from ai_pdf_ocr_spark.engine.sources import read_documents
+        documents = read_documents(spark, args.input, args.input_format)
 
     p = args.partitions or 2 * spark.sparkContext.defaultParallelism
     store = TableStore(spark, args.output)
