@@ -50,6 +50,25 @@ def sample_hash_split(spark, sf_dir):
                  F.sum("n_chars").cast("long").alias("total_chars")))
 
 
+@register("rollup_corpus_stats", sql="""
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(n_chars), 4) AS avg_chars
+FROM documents GROUP BY ROLLUP (source, lang)
+""")
+def rollup_corpus_stats(spark, sf_dir):
+    """Hierarchical corpus dashboard: per-(source, lang), per-source,
+    and grand-total stats in ONE pass via ROLLUP grouping sets — the
+    release-report aggregation every corpus pipeline maintains, without
+    3 separate scans.  Integer sums keep the avg deterministic across
+    partitionings (exact long sum / count)."""
+    d = load(spark, sf_dir, "documents")
+    return (d.rollup("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars")))
+
+
 _EVAL_MAX_ID = 10  # doc_id < 10 plays the held-out benchmark set
 
 

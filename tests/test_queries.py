@@ -36,7 +36,11 @@ def _norm_rows(cols, rows):
             return round(v, 9)
         return v
 
-    return sorted(tuple(norm(r[i]) for i in idx) for r in rows)
+    out = [tuple(norm(r[i]) for i in idx) for r in rows]
+    # None-safe, mixed-type-safe sort key (rollup rows carry NULL dims);
+    # equality still compares the exact normalized tuples
+    return sorted(out, key=lambda r: tuple((x is None, str(type(x)),
+                                            str(x)) for x in r))
 
 
 def _all():
