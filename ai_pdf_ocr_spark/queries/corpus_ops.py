@@ -15,10 +15,13 @@ from pyspark.sql import functions as F
 from . import load, register
 from .dedup import _spread, _tokens
 
-# Knuth multiplicative hash: doc_id*K mod 2^32 is uniform and identical
-# BIGINT arithmetic in Spark and DuckDB (no overflow: ids << 2^31)
-_K = 2654435761
-_M32 = 4294967296
+# Lehmer/MINSTD multiplicative hash over the Mersenne prime 2^31-1:
+# identical BIGINT arithmetic in Spark and DuckDB AND overflow-safe at
+# any doc_id — (id % p) * 48271 < 2^47, far inside int64, so ANSI-mode
+# Spark never throws at 10^12-scale ids (a plain id*K mod 2^32 would
+# overflow long multiplication there).
+_A = 48271
+_P = 2147483647
 
 
 @register("sample_hash_split", sql=f"""
@@ -29,7 +32,7 @@ FROM (
          CASE WHEN bucket < 80 THEN 'train'
               WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
   FROM (SELECT lang, n_chars,
-               (doc_id * {_K}) % {_M32} % 100 AS bucket
+               ((doc_id % {_P}) * {_A}) % {_P} % 100 AS bucket
         FROM documents))
 GROUP BY lang, split
 """)
@@ -40,8 +43,8 @@ def sample_hash_split(spark, sf_dir):
     rerun the same membership).  Output: per (lang, split) doc counts
     — the assignment itself is the per-row ``split`` column."""
     d = load(spark, sf_dir, "documents")
-    bucket = F.pmod(F.pmod(F.col("doc_id") * F.lit(_K), F.lit(_M32)),
-                    F.lit(100))
+    bucket = F.pmod(F.pmod(F.pmod("doc_id", F.lit(_P)) * F.lit(_A),
+                           F.lit(_P)), F.lit(100))
     split = (F.when(bucket < 80, "train")
              .when(bucket < 90, "val").otherwise("test"))
     return (d.select("lang", "n_chars", split.alias("split"))
