@@ -321,7 +321,21 @@ def dedup_jaccard_verified(spark, sf_dir):
     here the shuffle is (band_key, doc_id) rows + one broadcast-bounded
     mask join per candidate pair.  Recall vs the exact operator is
     asserted >= 0.95 in tests/test_queries.py (2-row bands keep
-    P(miss at the 0.5 threshold) ~ 1%)."""
+    P(miss at the 0.5 threshold) ~ 1%).
+
+    Known tradeoff (PLANS.md): on the pathologically dense synthetic
+    corpus at sf0.1 (20% of ALL pairs >= 0.5 Jaccard) even V_BAND_CAP
+    buckets overflow and recall drops — not an operator defect but the
+    corpus being LSH-hostile.  At-scale remediations when a real
+    corpus grows boilerplate mega-buckets: (a) recursive sub-banding —
+    re-key an over-cap bucket by extra signature rows, splitting it
+    into bounded sub-buckets at some recall cost; (b) star pairs —
+    emit (min_member, member) edges for an over-cap bucket at O(B)
+    cost when feeding CLUSTER resolution (connectivity preserved
+    without B² pairs); (c) route boilerplate to the exact-dup pass,
+    which is what the cap effectively does today.  The cluster
+    pipeline (dedup_cluster_resolve) builds on the EXACT operator, so
+    its recall is 100% by construction regardless."""
     d = _spread(load(spark, sf_dir, "documents"))
     tok = d.select("doc_id",
                    F.explode(F.array_distinct(_tokens(F.col("text"))))
