@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import fixture_sql, load, register
+from . import FIXTURE_DIR, fixture_sql, load, register
 
 _NORM = r"\s+"
 
@@ -460,8 +460,51 @@ def dedup_cluster_resolve(spark, sf_dir):
     ~2, so plain propagation is the cheaper constant.)"""
     d = load(spark, sf_dir, "documents")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    return _resolve_components(spark, d, pairs)
+
+
+_SCALED_RESOLVE_SQL = """
+WITH pairs AS (
+  SELECT d1, d2
+  FROM read_parquet('__FIX__/dedup_jaccard_verified.parquet')
+  WHERE _corpus = (SELECT SUM(n_chars) FROM documents)
+),
+e AS (SELECT d1 AS s, d2 AS t FROM pairs
+      UNION SELECT d2, d1 FROM pairs),
+r AS (
+  WITH RECURSIVE reach(s, t) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.s, e.t FROM reach JOIN e ON reach.t = e.s
+  ) SELECT * FROM reach
+)
+SELECT s AS doc_id, MIN(t) AS cluster_id,
+       MIN(t) = s AS keep,
+       CAST(COUNT(*) AS BIGINT) AS n_reachable
+FROM r GROUP BY s
+"""
+
+
+@register("dedup_cluster_resolve_scaled",
+          sql=_SCALED_RESOLVE_SQL.replace("__FIX__", FIXTURE_DIR))
+def dedup_cluster_resolve_scaled(spark, sf_dir):
+    """The complete corpus-SCALE dedup pipeline as one operator:
+    MinHash-LSH candidates -> exact bitmask verify -> connected
+    components -> keeper selection.  This is the composition a 10^12-
+    doc run executes (the exact-pairs variant above is the ground-truth
+    twin); every stage's shuffle is bounded (band keys, candidate
+    pairs, (doc_id, label) longs).  Oracle: recursive closure over the
+    verified-pairs fixture slice."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup_jaccard_verified(spark, sf_dir).select("d1", "d2")
+    return _resolve_components(spark, d, pairs)
+
+
+def _resolve_components(spark, d, pairs):
+    """Min-label propagation over (d1 < d2) near-dup pairs -> one row
+    per document: (doc_id, cluster_id, keep, n_reachable)."""
     sc = spark.sparkContext
-    # no distinct: the triangle join emits each unordered pair exactly
+    # no distinct: the pair sources emit each unordered pair exactly
     # once (d1 < d2), so the symmetrized union is already duplicate-free
     # — a distinct here would shuffle all |E| rows once more for nothing
     edges = (pairs.select(F.col("d1").alias("s"), F.col("d2").alias("t"))
