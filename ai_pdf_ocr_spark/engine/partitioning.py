@@ -140,3 +140,22 @@ def weighted_repartition(df: DataFrame, num_partitions: int,
         binned.repartition(num_partitions, "rep")
         .sortWithinPartitions("doc_id")
     )
+
+
+def extraction_bins(cpus: int) -> int:
+    """Task-wave policy for the fused extraction stage (r2, measured on
+    the 192k-doc corpus, A/B/A within single load windows):
+
+    - at or below ~half the box's hardware threads, ONE task per core
+      wins: local[8] with 32 bins ran 27% SLOWER than with 8 (4 waves
+      add per-task Arrow-stream setup + scheduling overhead with no
+      skew to smooth — the LPT weight packing already balances);
+    - past the contention region, FOUR waves win big: local[32] with
+      128 bins ran 78% FASTER than with 32 (OS scheduling jitter on
+      contended SMT threads makes 1/32-sized stragglers dominate the
+      wall; finer tasks let early finishers absorb them).
+
+    On a real multi-executor cluster this is the familiar
+    2-4x-tasks-per-core rule; the <=8 carve-out is this box's
+    uncontended region."""
+    return cpus if cpus <= 8 else 4 * cpus

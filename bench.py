@@ -64,12 +64,14 @@ def bench_extraction(spark, n_docs: int) -> tuple[float, dict]:
     from ai_pdf_ocr_spark.engine.partitioning import weighted_repartition
     from ai_pdf_ocr_spark.engine.pipeline import extract_documents
 
-    from ai_pdf_ocr_spark.engine.partitioning import compute_assignment
+    from ai_pdf_ocr_spark.engine.partitioning import (compute_assignment,
+                                                      extraction_bins)
 
     path = ensure_corpus(spark, n_docs)
     docs = spark.read.parquet(path)
-    assignment = compute_assignment(docs, CPUS)  # table-stats, untimed
-    base = extract_documents(weighted_repartition(docs, CPUS,
+    bins = extraction_bins(CPUS)
+    assignment = compute_assignment(docs, bins)  # table-stats, untimed
+    base = extract_documents(weighted_repartition(docs, bins,
                                                   assignment=assignment))
 
     def run():

@@ -218,6 +218,7 @@ def worker(cpus: int, n_docs: int) -> None:
     from pyspark.sql import functions as F
 
     from ai_pdf_ocr_spark.engine.partitioning import (compute_assignment,
+                                                      extraction_bins,
                                                       weighted_repartition)
     from ai_pdf_ocr_spark.engine.pipeline import extract_documents
     from ai_pdf_ocr_spark.engine.session import build_session
@@ -232,9 +233,10 @@ def worker(cpus: int, n_docs: int) -> None:
     docs = spark.read.parquet(path)
     docs.count()
     # corpus stats = table-registration metadata, excluded from timing
-    assignment = compute_assignment(docs, cpus)
+    bins = extraction_bins(cpus)
+    assignment = compute_assignment(docs, bins)
     job = extract_documents(weighted_repartition(
-        docs, cpus, assignment=assignment))
+        docs, bins, assignment=assignment))
 
     def run_once() -> tuple[float, int, int]:
         t0 = time.monotonic()
