@@ -379,7 +379,13 @@ Target >= 0.8 on the N->4N pair in the hardware's linear region:
 {'PASS' if s['pass_2_to_8'] else 'FAIL'}.
 """
     if marker in text:
-        text = text[:text.index(marker)] + block
+        # replace ONLY this section — stop at the next "## " header
+        # (truncating to EOF wiped the executor-JVM and headline
+        # sections twice in round 2)
+        idx = text.index(marker)
+        nxt = text.find("\n## ", idx + 1)
+        tail = text[nxt:] if nxt != -1 else ""
+        text = text[:idx] + block + tail
     else:
         text = text.rstrip() + "\n\n" + block
     with open(path, "w") as f:
