@@ -64,8 +64,10 @@ def dedup_exact(spark, sf_dir):
 # -------------------------------------------------- n-gram Jaccard
 _JACCARD_SQL = """
 WITH tok AS (
+  -- explicit class = Java \\s (includes \\x0B; RE2's \\s does not)
   SELECT doc_id, lang, UNNEST(LIST_DISTINCT(
-           LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+           LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)),
+                                          '[ \\t\\n\\x0B\\f\\r]+'),
                        t -> LENGTH(t) > 0))) AS tok
   FROM documents
 ), sizes AS (
@@ -83,52 +85,31 @@ WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.5
 """
 
 
-def token_masks(spark, d):
-    """(doc_id, lang, sz, m0..m{C-1}): each doc's distinct-token set
-    as C=ceil(|vocab|/64) bitmask longs.
+def token_sets(d):
+    """(doc_id, lang, sz, toks): each doc's distinct-token set as an
+    array of 64-bit token hashes — per-row state O(doc tokens),
+    INDEPENDENT of corpus vocabulary size.
 
-    The vocabulary gets dense ids once (distinct tokens -> row_number;
-    the single-partition window and the one driver-side ``count()`` are
-    both O(|vocab|), a metadata-sized job — same class as the bounded
-    collects in engine/partitioning.py).  Token->id is a broadcast join
-    (never a per-row literal map, CLAUDE.md perf trap #1)."""
-    from pyspark.sql import Window
-
-    tok = d.select("doc_id", "lang",
-                   F.explode(F.array_distinct(_tokens(F.col("text"))))
-                   .alias("tok"))
-    # eager localCheckpoint, not persist(): computed once for the count
-    # AND the broadcast join below, and reclaimed by the ContextCleaner
-    # with the DataFrame (a persist() here leaked one cached vocab per
-    # invocation — code-review r2)
-    vocab_df = tok.select("tok").distinct().localCheckpoint(eager=True)
-    n_vocab = vocab_df.count()  # bounded: |vocab| rows
-    n_chunks = max(1, (n_vocab + 63) // 64)
-    # partitionBy(lit) = deliberate single partition over |vocab| rows
-    # (and no WindowExec "no partition defined" log spam)
-    vocab = vocab_df.select(
-        "tok", (F.row_number().over(
-            Window.partitionBy(F.lit(0)).orderBy("tok")) - 1).alias("tid"))
-    mask_aggs = [
-        F.bit_or(
-            F.when(F.floor(F.col("tid") / 64) == c,
-                   F.expr("shiftleft(CAST(1 AS BIGINT), "
-                          "CAST(tid % 64 AS INT))"))
-            .otherwise(F.lit(0).cast("long"))).alias(f"m{c}")
-        for c in range(n_chunks)
-    ]
-    masks = (tok.join(F.broadcast(vocab), "tok")
-             .groupBy("doc_id", "lang")
-             .agg(F.count("*").alias("sz"), *mask_aggs))
-    return masks, n_chunks
+    Replaces the r2 bitmask scheme whose width was ceil(|vocab|/64)
+    BIGINT columns built under a single-partition vocabulary window
+    (VERDICT r2 "What's wrong" #1: a 10^7-10^8-token real vocabulary
+    means ~10^5-10^6 mask columns — the plan itself cannot be built,
+    and the vocab pass is one task).  Here there is no vocabulary pass
+    at all: each row carries only its own tokens, hashed to fixed-width
+    longs so the pair-verify probe is a primitive-typed set intersect.
+    Collision bound: P(any two of V distinct tokens collide) ~ V^2/2^65
+    — ~3e-4 corpus-wide at V=1e8, the same exactness class MinHash
+    already assumes."""
+    toks = F.array_distinct(F.transform(_tokens(F.col("text")),
+                                        lambda t: F.xxhash64(t)))
+    return (d.select("doc_id", "lang", toks.alias("toks"))
+            .withColumn("sz", F.size("toks")))
 
 
-def _mask_jaccard(n_chunks):
-    """Jaccard expression over an l/r-aliased mask self-join."""
-    inter = None
-    for c in range(n_chunks):
-        t = F.bit_count(F.col(f"l.m{c}").bitwiseAND(F.col(f"r.m{c}")))
-        inter = t if inter is None else inter + t
+def _set_jaccard():
+    """Jaccard expression over an l/r-aliased token-set self-join:
+    size(intersect)/(|l| + |r| - intersect), O(|l|+|r|) per pair."""
+    inter = F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks")))
     union = F.col("l.sz") + F.col("r.sz") - inter
     return inter.cast("double") / union
 
@@ -172,13 +153,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
     Exact all-pairs within a lang block, with two scale defenses:
 
-    1. **Bitmask token sets.** Each doc's distinct tokens become
-       ceil(|vocab|/64) bitmask longs via a broadcast vocab join; the
-       per-pair cost is AND+popcount over longs inside whole-stage
-       codegen.  Replaces the r1 token inverted-index join whose
-       shuffle was Σ df² over tokens (115M rows, 23.6s = 68% of the
-       bench at sf0.1 — VERDICT r1); now the pair join shuffles n
-       skinny mask rows per side.
+    1. **Per-row token-hash sets.** Each doc carries its own distinct
+       tokens as an array of xxhash64 longs (``token_sets``); the
+       per-pair cost is one primitive-typed set intersect, O(|l|+|r|),
+       inside whole-stage codegen.  No corpus-wide vocabulary state of
+       any kind (r2's bitmask scheme was vocab-width — VERDICT r2 #1);
+       replaces the r1 token inverted-index join whose shuffle was
+       Σ df² over tokens (115M rows, 23.6s = 68% of the bench at sf0.1).
     2. **Triangle salting.** A lang-only equi-join hash-partitions on
        5 lang keys, so one task computes a whole block's n²/2 pairs.
        Each doc gets p = hash(doc_id) % S; the left side replicates to
@@ -188,11 +169,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
     Exact all-pairs is still Ω(n²/S) per block by definition — at 10^12
     docs use ``dedup_jaccard_verified`` (MinHash-LSH candidates ->
-    exact bitmask verify on candidates only, same predicate)."""
+    exact set-intersect verify on candidates only, same predicate)."""
     d = _spread(load(spark, sf_dir, "documents"))
-    masks, n_chunks = token_masks(spark, d)
-    joined = triangle_self_join(masks, ["lang"], "doc_id", _JACCARD_SALT)
-    jac = _mask_jaccard(n_chunks)
+    sets = token_sets(d)
+    joined = triangle_self_join(sets, ["lang"], "doc_id", _JACCARD_SALT)
+    jac = _set_jaccard()
     return (
         joined.where(jac >= 0.5)
         .select(F.least("l.doc_id", "r.doc_id").alias("d1"),
@@ -315,11 +296,14 @@ V_BAND_CAP = 1024
 @register("dedup_jaccard_verified", sql=fixture_sql("dedup_jaccard_verified"))
 def dedup_jaccard_verified(spark, sf_dir):
     """Scale path for ``dedup_ngram_jaccard``: token-set MinHash-LSH
-    candidate pairs -> exact bitmask Jaccard >= 0.5 on candidates only.
+    candidate pairs -> exact set-intersect Jaccard >= 0.5 on candidates
+    only.
 
     At 10^12 docs the exact all-pairs variant is Ω(n²) per lang block;
-    here the shuffle is (band_key, doc_id) rows + one broadcast-bounded
-    mask join per candidate pair.  Recall vs the exact operator is
+    here the shuffle is (band_key, doc_id) rows + the candidate pairs
+    joined to O(doc)-sized token-hash arrays (``token_sets`` — no
+    corpus-vocabulary state, VERDICT r2 #1).  Recall vs the exact
+    operator is
     asserted >= 0.95 in tests/test_queries.py (2-row bands keep
     P(miss at the 0.5 threshold) ~ 1%).
 
@@ -342,11 +326,11 @@ def dedup_jaccard_verified(spark, sf_dir):
                    .alias("tok"))
     banded = _minhash_banded(tok, "tok", V_HASHES, V_BANDS, V_BAND_CAP)
     cands = _band_pairs(banded)
-    masks, n_chunks = token_masks(spark, d)
-    masks = masks.localCheckpoint(eager=False)  # joined on both sides
-    left = masks.alias("l")
-    right = masks.alias("r")
-    jac = _mask_jaccard(n_chunks)
+    sets = token_sets(d)
+    sets = sets.localCheckpoint(eager=False)  # joined on both sides
+    left = sets.alias("l")
+    right = sets.alias("r")
+    jac = _set_jaccard()
     return (
         cands.join(left, F.col("d1") == F.col("l.doc_id"))
         .join(right, F.col("d2") == F.col("r.doc_id"))
@@ -385,39 +369,90 @@ def dedup_simhash(spark, sf_dir):
 
 
 SIMHASH_MAX_HAMMING = 3
+SIMHASH_BUCKET_CAP = 64  # over-cap band buckets split, never dropped
 
 
-@register("dedup_simhash_pairs", sql=fixture_sql("dedup_simhash_pairs"))
-def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: hamming(sig1, sig2) <= 3 via banded
-    candidate generation — 4 x 16-bit bands over the 64-bit signature.
+def simhash_pairs_from_sigs(sigs, cap=SIMHASH_BUCKET_CAP):
+    """hamming <= 3 pairs from (doc_id, simhash) rows — banded candidate
+    generation with an EXACT hot-bucket split (VERDICT r2 ask #4).
 
-    The banding is EXACT for hamming <= 3 (pigeonhole: 3 differing bits
-    touch at most 3 of the 4 bands, so every qualifying pair collides
-    in at least one band); no cap is applied because a cap would break
-    that guarantee — the quadratic-bucket defense for SimHash at scale
-    is splitting hot buckets by a 5th band, not dropping them."""
-    sigs = _simhash_sigs(_spread(load(spark, sf_dir, "documents")))
-    bands = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.shiftrightunsigned(F.col("simhash"), 16 * b)
-                 .bitwiseAND(F.lit(0xFFFF)).alias("bval"))
-        for b in range(4)
+    Base scheme: 4 x 16-bit bands; 3 differing bits touch at most 3
+    bands, so every qualifying pair collides in >= 1 band (pigeonhole).
+    A boilerplate-heavy corpus makes one band value quadratic, and a
+    drop-cap would break exactness — instead, members of an over-cap
+    (band, bval) bucket are re-keyed by 4 x 12-bit SUB-bands over the
+    48 complement bits.  Exactness is a second pigeonhole: a qualifying
+    pair meeting in a hot band agrees on that band's 16 bits, so its
+    <= 3 diffs all lie in the 48 complement bits and at least one
+    12-bit sub-band is diff-free — the pair collides in that
+    sub-bucket.  Identical signatures always share every sub-bucket
+    (their B^2/2 pairs are true output, irreducible by any split).
+
+    Scale shape: bucket sizes come from a map-side-combinable groupBy
+    whose output is bounded by 4 * 2^16 distinct keys (broadcast back),
+    NOT a per-bucket window; only hot rows explode (x4).  The split
+    bounds a hot bucket's join fan-in to its largest sub-bucket."""
+    comp_mask = (1 << 48) - 1
+    bands = []
+    for b in range(4):
+        bval = (F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                .bitwiseAND(F.lit(0xFFFF)))
+        # the other 3 bands' bits, packed low -> 48-bit complement
+        # (NB Java shifts are mod-64, so b=3 cannot use >>> 64)
+        if b == 3:
+            comp = F.col("simhash").bitwiseAND(F.lit(comp_mask))
+        else:
+            low = (F.col("simhash").bitwiseAND(F.lit((1 << (16 * b)) - 1))
+                   if b > 0 else F.lit(0).cast("long"))
+            high = F.shiftrightunsigned(F.col("simhash"), 16 * (b + 1))
+            comp = low.bitwiseOR(F.shiftleft(high, 16 * b))
+        bands.append(F.struct(F.lit(b).alias("band"), bval.alias("bval"),
+                              comp.alias("comp")))
+    banded = (sigs.select("doc_id", "simhash",
+                          F.explode(F.array(*bands)).alias("bk"))
+              .select("doc_id", "simhash",
+                      "bk.band", "bk.bval", "bk.comp"))
+    sizes = banded.groupBy("band", "bval").agg(F.count("*").alias("bsz"))
+    banded = (banded.join(F.broadcast(sizes), ["band", "bval"])
+              .localCheckpoint(eager=False))  # self-joined below
+    cold = banded.where(F.col("bsz") <= cap).select(
+        "doc_id", "simhash", "band", "bval",
+        F.lit(-1).alias("sub"), F.lit(0).cast("long").alias("sval"))
+    subs = F.array(*[
+        F.struct(F.lit(sb).alias("sub"),
+                 F.shiftrightunsigned(F.col("comp"), 12 * sb)
+                 .bitwiseAND(F.lit(0xFFF)).alias("sval"))
+        for sb in range(4)
     ])
-    banded = sigs.select("doc_id", "simhash",
-                         F.explode(bands).alias("bk")) \
-        .select("doc_id", "simhash", "bk.band", "bk.bval")
-    a, b = banded.alias("a"), banded.alias("b")
+    hot = (banded.where(F.col("bsz") > cap)
+           .select("doc_id", "simhash", "band", "bval",
+                   F.explode(subs).alias("sk"))
+           .select("doc_id", "simhash", "band", "bval",
+                   "sk.sub", "sk.sval"))
+    keyed = cold.union(hot)
+    a, b = keyed.alias("a"), keyed.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bval") == F.col("b.bval"))
+               & (F.col("a.sub") == F.col("b.sub"))
+               & (F.col("a.sval") == F.col("b.sval"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("d1"),
                 F.col("b.doc_id").alias("d2"), ham.alias("hamming"))
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
     )
+
+
+@register("dedup_simhash_pairs", sql=fixture_sql("dedup_simhash_pairs"))
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: hamming(sig1, sig2) <= 3, exact, with
+    hot band buckets split rather than dropped (see
+    ``simhash_pairs_from_sigs``; adversarial boilerplate-corpus test in
+    tests/test_queries.py)."""
+    sigs = _simhash_sigs(_spread(load(spark, sf_dir, "documents")))
+    return simhash_pairs_from_sigs(sigs)
 
 
 # ------------------------------------------- cluster resolution
@@ -530,6 +565,14 @@ def _resolve_components(spark, d, pairs):
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    else:
+        # fail loudly: silently returning unconverged labels would ship
+        # wrong cluster_id/keep downstream (ADVICE r2) — a >64-diameter
+        # component (a long pairwise near-dup chain) needs a higher
+        # bound or large-star/small-star, not a wrong answer
+        raise RuntimeError(
+            "dedup cluster resolution did not converge in 64 rounds "
+            f"({changed} labels still changing)")
     comp_sz = labels.groupBy("label").agg(
         F.count("*").cast("long").alias("n_reachable"))
     return (labels.join(comp_sz, "label")

@@ -209,9 +209,15 @@ def ann_lsh_multiprobe(spark, sf_dir):
                    F.col("bucket") == F.col("pbucket")))
     scored = cands.select(
         "vec_id", "label", _cosine(F.col("emb"), F.col("qe")).alias("_c"))
+    # top-k via orderBy().limit() -> TakeOrderedAndProject (per-partition
+    # heaps + merge of k rows), NOT row_number over a global Window: that
+    # forced every candidate (~1% of the corpus — 10^7 rows at 10^9
+    # vectors) through one partition (VERDICT r2 #2).  The rank window
+    # below runs AFTER the limit, over exactly 10 rows.  Pinned by
+    # tests/test_plans.py::test_multiprobe_topk_no_global_window.
     from pyspark.sql import Window
+    top = scored.orderBy(F.desc("_c"), "vec_id").limit(10)
     w = Window.orderBy(F.desc("_c"), "vec_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 10)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", "vec_id", "label",
                     F.round("_c", 4).alias("cosine")))

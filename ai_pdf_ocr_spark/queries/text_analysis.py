@@ -19,10 +19,10 @@ _STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is")
 @register("text_token_count", sql=r"""
 SELECT lang,
        CAST(SUM(LENGTH(LIST_FILTER(
-           STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+           STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[ \t\n\x0B\f\r]+'),
            t -> LENGTH(t) > 0))) AS BIGINT) AS total_tokens,
        ROUND(AVG(LENGTH(LIST_FILTER(
-           STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+           STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[ \t\n\x0B\f\r]+'),
            t -> LENGTH(t) > 0))), 4) AS avg_tokens,
        COUNT(*) AS n_docs
 FROM documents GROUP BY lang
@@ -47,10 +47,10 @@ WITH scored AS (
          LENGTH(regexp_extract_all(text, '{_PUNCT_DUCK}'))
            / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS punct_ratio,
          LENGTH(LIST_FILTER(
-             STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+             STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[ \t\n\x0B\f\r]+'),
              t -> t IN {_STOPWORDS}))
            / CAST(GREATEST(LENGTH(LIST_FILTER(
-             STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+             STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[ \t\n\x0B\f\r]+'),
              t -> LENGTH(t) > 0)), 1) AS DOUBLE) AS stop_ratio
   FROM documents)
 SELECT lang,
@@ -115,7 +115,7 @@ def text_langid_heuristic(spark, sf_dir):
 
 @register("text_fingerprint", sql=r"""
 SELECT doc_id,
-       MD5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g'))
+       MD5(regexp_replace(LOWER(TRIM(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
          AS fingerprint
 FROM documents WHERE doc_id < 50 ORDER BY doc_id
 """)

@@ -66,7 +66,7 @@ def test_media_asset_join_broadcasts_dimension(spark):
 
 
 def test_jaccard_pair_join_keys_are_triangle_salted(spark):
-    """Bitmask jaccard: the pair self-join must key on the triangle
+    """Token-set jaccard: the pair self-join must key on the triangle
     salt keys (_kp, _kq) + lang — S(S+1)/2-way parallel per lang block
     — and emit no global sort.  (The join STRATEGY is whatever the
     stats suggest: SMJ on the salted keys is the correct at-scale
@@ -80,3 +80,37 @@ def test_jaccard_pair_join_keys_are_triangle_salted(spark):
     assert join_lines, plan[:2000]
     assert all("_kq" in ln and "lang" in ln for ln in join_lines)
     assert "rangepartitioning" not in plan  # no global orderBy exchange
+    _assert_no_vocab_state(plan)
+    # no minhash stage in the exact variant -> no Window of any kind
+    assert "Window" not in plan
+
+
+def _assert_no_vocab_state(plan: str):
+    """The r2 bitmask scheme built ceil(|vocab|/64) mask columns under a
+    single-partition vocabulary window — un-plannable at a real (10^7+)
+    vocabulary (VERDICT r2 #1).  Per-row token-set state must keep both
+    artifacts out of the plan forever: no m{c} mask columns, and every
+    surviving Window is key-partitioned (the band-cap window), never
+    partitioned on a literal."""
+    assert not re.search(r"\bm\d+#", plan), "vocab-width mask columns"
+    for ln in plan.splitlines():
+        if "Window" in ln:
+            assert "band" in ln, f"un-keyed window: {ln}"
+
+
+def test_jaccard_verified_no_vocab_state(spark):
+    from ai_pdf_ocr_spark.queries import all_queries
+    plan = _executed_plan(
+        all_queries()["dedup_jaccard_verified"].fn(spark, SF_DIR))
+    _assert_no_vocab_state(plan)
+
+
+def test_multiprobe_topk_no_global_window(spark):
+    """ann_lsh_multiprobe's final top-k must be TakeOrderedAndProject
+    (per-partition heaps), not a row_number window funnelling every
+    candidate through one partition (VERDICT r2 #2).  The rank window
+    that remains runs over the 10 post-limit rows only."""
+    from ai_pdf_ocr_spark.queries import all_queries
+    plan = _executed_plan(
+        all_queries()["ann_lsh_multiprobe"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]

@@ -244,3 +244,77 @@ def test_minhash_lsh_recall_on_shingle_jaccard(spark, ddb):
         SELECT d1, d2 FROM pairs WHERE j >= 0.8""").fetchall()
     missed = [p for p in high if tuple(p) not in got]
     assert not missed, f"LSH missed high-sim pairs: {missed[:5]}"
+
+
+def test_jaccard_large_vocab_plannable(spark, tmp_path):
+    """VERDICT r2 #1 regression guard: a corpus with >= 1e5 distinct
+    tokens.  The r2 bitmask scheme needed ceil(120000/64) ~ 1875 mask
+    columns built under a single-partition vocabulary window — plan
+    construction alone was infeasible at a real vocabulary.  Per-row
+    token-set state is O(doc tokens) regardless of |vocab|."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_pdf_ocr_spark.queries.dedup import dedup_ngram_jaccard
+
+    n_docs, toks_per_doc = 300, 400  # 119,200 distinct tokens overall
+    texts = []
+    base = [f"t{i}" for i in range(toks_per_doc)]
+    texts.append(" ".join(base))  # doc 0
+    # doc 1 shares 80% of doc 0's tokens -> jaccard 0.8/1.2 = 0.6667
+    texts.append(" ".join(base[: int(toks_per_doc * 0.8)]
+                          + [f"u{i}" for i in range(toks_per_doc // 5)]))
+    for d in range(2, n_docs):
+        texts.append(" ".join(f"d{d}w{i}" for i in range(toks_per_doc)))
+    pq.write_table(pa.table(
+        {"doc_id": pa.array(range(n_docs), pa.int64()),
+         "text": pa.array(texts),
+         "lang": pa.array(["en"] * n_docs),
+         "source": pa.array(["synth"] * n_docs),
+         "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    rows = dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    assert [(r.d1, r.d2, r.jaccard) for r in rows] == [(0, 1, 0.6667)]
+
+
+def test_simhash_hot_bucket_split_exact(spark):
+    """Adversarial boilerplate corpus for the hot-bucket split
+    (VERDICT r2 ask #4): 400 signatures sharing one 16-bit band value
+    (every band-0 bucket is hot, > SIMHASH_BUCKET_CAP), planted
+    hamming<=3 pairs.  The split must (a) return EXACTLY the
+    brute-force pair set, (b) actually bound sub-bucket sizes."""
+    import random
+    from collections import Counter
+
+    from ai_pdf_ocr_spark.queries.dedup import (SIMHASH_BUCKET_CAP,
+                                                simhash_pairs_from_sigs)
+
+    rng = random.Random(42)
+    n = 400
+    sigs = []
+    for i in range(n):
+        v = rng.getrandbits(48) << 16 | 0xABCD  # band 0 shared by ALL
+        sigs.append(v)
+    # plant near-dup clusters: flip <=3 bits of sig 0 / sig 7
+    for j, (src, bits) in enumerate([(0, [17]), (0, [20, 40]),
+                                     (0, [16, 33, 63]), (7, [25]),
+                                     (7, [31, 47, 62])]):
+        sigs.append(sigs[src] ^ sum(1 << b for b in bits))
+    signed = [v - (1 << 64) if v >= (1 << 63) else v for v in sigs]
+    expected = sorted(
+        (i, j) for i in range(len(signed)) for j in range(i + 1, len(signed))
+        if bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1") <= 3)
+    df = spark.createDataFrame(list(enumerate(signed)),
+                               "doc_id long, simhash long")
+    got = sorted((r.d1, r.d2)
+                 for r in simhash_pairs_from_sigs(df).collect())
+    assert got == expected, (got[:5], expected[:5])
+    # (b) the split bounds sub-bucket sizes: replicate the keying for
+    # the hot band-0 bucket — 12-bit sub-values over the 48 complement
+    # bits spread the 405 members far below the original bucket size
+    sub_sizes = Counter()
+    for v in sigs:
+        comp = v >> 16
+        for sb in range(4):
+            sub_sizes[(sb, (comp >> (12 * sb)) & 0xFFF)] += 1
+    assert max(sub_sizes.values()) <= SIMHASH_BUCKET_CAP

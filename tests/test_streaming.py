@@ -66,27 +66,88 @@ def test_stream_two_waves_then_idle(spark, tmp_path, corpus):
     for doc_id, seq in want.items():
         assert got[doc_id] == seq, doc_id
 
-    # per-epoch lineage rows exist for both waves
+    # per-epoch lineage rows exist for both waves, carrying the
+    # per-stream replay marker (-<stream_id>-e<epoch>)
     ckpt = store.read_checkpoint()
     run_ids = {r.run_id for r in ckpt.select("run_id").distinct().collect()}
-    assert any(r.startswith("s1-e") for r in run_ids)
-    assert any(r.startswith("s2-e") for r in run_ids)
+    assert any(r.startswith("s1-") and "-e" in r for r in run_ids)
+    assert any(r.startswith("s2-") and "-e" in r for r in run_ids)
     total = sum(r.doc_count for r in ckpt.collect())
     assert total == len(corpus)
+
+    # the session-wide overwrite mode was NOT flipped by the stream
+    # writes (ADVICE r2: a lingering 'dynamic' silently changes later
+    # mode('overwrite') writes)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "STATIC").upper() == "STATIC"
 
 
 def test_epoch_replay_is_idempotent(spark, tmp_path, corpus):
     """Simulate the crash-replay path directly: running the same epoch
-    twice must rewrite the same (epoch, bin) partitions and append the
-    lineage rows exactly once."""
+    twice must rewrite the same (stream, epoch, bin) partitions and
+    append the lineage rows exactly once — even when the replay comes
+    in under a DIFFERENT run_id (the marker is the stream id + epoch,
+    never the caller's run label)."""
     from ai_pdf_ocr_spark.engine.streaming import _process_epoch
 
     store = TableStore(spark, str(tmp_path / "store"))
     docs = documents_df(spark, corpus[:12])
-    assert _process_epoch(spark, store, "rp", 4, 4096, docs, 7) is True
+    assert _process_epoch(spark, store, "rp", "t1", 4, 4096, docs, 7) \
+        is True
     first = _spans_by_doc(read_stream_extracted(spark, store))
     n_ckpt = store.read_checkpoint().count()
     # replay (streaming engine re-invokes the same epoch after a crash)
-    assert _process_epoch(spark, store, "rp2", 4, 4096, docs, 7) is True
+    assert _process_epoch(spark, store, "rp2", "t1", 4, 4096, docs, 7) \
+        is True
     assert _spans_by_doc(read_stream_extracted(spark, store)) == first
     assert store.read_checkpoint().count() == n_ckpt  # no duplicate rows
+    # a DIFFERENT stream sharing the TableStore at the same epoch id
+    # must NOT be skipped by the replay guard (ADVICE r2: the old
+    # endswith('-e<n>') heuristic cross-matched streams)
+    docs2 = documents_df(spark, corpus[12:20])
+    assert _process_epoch(spark, store, "rp", "t2", 4, 4096, docs2, 7) \
+        is True
+    assert store.read_checkpoint().count() > n_ckpt
+
+
+def test_cross_epoch_dedup_flags(spark, tmp_path, corpus):
+    """VERDICT r2 ask #5: a doc re-landing in a later epoch is flagged
+    against the checkpointed signature history.
+     - identical span content under a new doc_id -> dup_exact (+ near);
+     - same text spans but different media refs -> dup_near only
+       (LSH band collision), not dup_exact;
+     - fresh docs -> neither flag;
+     - within-epoch: epoch 1's own docs are never self-flagged."""
+    import copy
+
+    input_dir = str(tmp_path / "landing")
+    store = TableStore(spark, str(tmp_path / "store"))
+    wave1 = corpus[:10]
+    _land(spark, wave1, input_dir)
+    stream_extract(spark, input_dir, store, "cd1", num_partitions=4)
+    out1 = read_stream_extracted(spark, store)
+    assert out1.where("dup_exact OR dup_near").count() == 0
+
+    relanded = copy.deepcopy(wave1[0])
+    relanded["doc_id"] = "relanded-exact"
+    near = copy.deepcopy(wave1[1])
+    near["doc_id"] = "relanded-near"
+    changed_media = False
+    for s in near["spans"]:
+        if s["kind"] != "text" and s.get("media_ref"):
+            s["media_ref"] = "asset-deadbeef"
+            changed_media = True
+    assert changed_media, "fixture doc 1 must carry a media span"
+    wave2 = [relanded, near] + list(corpus[10:14])
+    _land(spark, wave2, input_dir)
+    stream_extract(spark, input_dir, store, "cd2", num_partitions=4)
+
+    flags = {r.doc_id: (r.dup_exact, r.dup_near)
+             for r in read_stream_extracted(spark, store)
+             .select("doc_id", "dup_exact", "dup_near").collect()}
+    assert flags["relanded-exact"] == (True, True)
+    assert flags["relanded-near"] == (False, True)
+    for d in corpus[10:14]:
+        assert flags[d["doc_id"]] == (False, False), d["doc_id"]
+    for d in wave1:
+        assert flags[d["doc_id"]] == (False, False), d["doc_id"]
