@@ -103,7 +103,12 @@ def token_sets(d):
     toks = F.array_distinct(F.transform(_tokens(F.col("text")),
                                         lambda t: F.xxhash64(t)))
     return (d.select("doc_id", "lang", toks.alias("toks"))
-            .withColumn("sz", F.size("toks")))
+            .withColumn("sz", F.size("toks"))
+            # empty-token docs (null/blank text) have no Jaccard pairs
+            # by definition — and pairing two of them would divide by
+            # zero (union = 0).  The SQL oracle drops them implicitly
+            # (its tok CTE emits no rows for them).
+            .where(F.col("sz") > 0))
 
 
 def _set_jaccard():

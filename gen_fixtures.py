@@ -225,6 +225,63 @@ def ann():
             "cosine": pa.float64()})
 
 
+# ------------------------------------------------- checksum manifest
+# Full twin recompute at sf0.1 takes ~2 min (loop-based layout oracle
+# over 5k docs), too slow for every pytest run.  Instead the bake
+# writes CHECKSUMS.json recording (a) a digest of the twin SOURCES,
+# (b) each SF's testdata corpus marker, (c) a content hash of every
+# fixture slice.  tests/test_fixtures.py recomputes twins fully at
+# sf0.001+sf0.01 and, for ALL SFs, asserts sources+markers+slice
+# hashes are unchanged — so a stale sf0.1 slice (testdata or twin code
+# changed without re-baking) fails the suite instead of surfacing at
+# the driver gate (ADVICE r2 #5).
+
+_SRC_FILES = ("tests/oracle.py", "tests/oracle_sketches.py",
+              "ai_pdf_ocr_spark/fixtures/generate.py", "gen_fixtures.py")
+
+
+def src_digest() -> str:
+    import hashlib
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for rel in _SRC_FILES:
+        with open(os.path.join(root, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+def slice_digest(parquet_path: str, m: int | None) -> str:
+    """Content hash of one fixture slice: sorted-row repr (Python float
+    repr is the exact shortest round-trip form, so this is
+    deterministic across runs)."""
+    import hashlib
+    where = f"WHERE _corpus = {m}" if m is not None else ""
+    cols = "* EXCLUDE (_corpus)" if m is not None else "*"
+    rows = duckdb.sql(f"SELECT {cols} FROM "
+                      f"read_parquet('{parquet_path}') {where}").fetchall()
+    return hashlib.sha256(repr(sorted(map(repr, rows))).encode()).hexdigest()
+
+
+def write_manifest():
+    import glob
+    import json
+    markers = {sf: marker(sf) for sf in SKETCH_SFS}
+    slices: dict[str, dict[str, str]] = {}
+    for p in sorted(glob.glob(os.path.join(OUT, "*.parquet"))):
+        name = os.path.basename(p)[:-len(".parquet")]
+        ms = [r[0] for r in duckdb.sql(
+            f"SELECT DISTINCT _corpus FROM read_parquet('{p}') "
+            f"ORDER BY 1").fetchall()]
+        slices[name] = {str(m): slice_digest(p, m) for m in ms}
+    inputs = {os.path.basename(p)[:-len(".parquet")]: slice_digest(p, None)
+              for p in sorted(glob.glob(os.path.join(INPUTS, "*.parquet")))}
+    with open(os.path.join(OUT, "CHECKSUMS.json"), "w") as f:
+        json.dump({"src_sha": src_digest(), "markers": markers,
+                   "slices": slices, "inputs": inputs}, f, indent=1,
+                  sort_keys=True)
+    print("  CHECKSUMS.json written")
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     os.makedirs(INPUTS, exist_ok=True)
@@ -232,6 +289,7 @@ def main():
     corpus_and_extract()
     sketches()
     ann()
+    write_manifest()
     print("done")
 
 

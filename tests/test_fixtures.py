@@ -16,6 +16,10 @@ import pytest
 
 FIXTURE_DIR = "/root/repo/fixtures/expected"
 SF_DIR = "/root/testdata/sf0.001"
+# full twin recompute per SF: sf0.001+sf0.01 are ~1.5 s combined;
+# sf0.1 takes ~2 min (loop-based layout oracle over 5k docs) and is
+# covered by the checksum-manifest test below instead (ADVICE r2 #5)
+RECOMPUTE_SFS = ["sf0.001", "sf0.01"]
 
 FIXTURE_QUERIES = [
     "extract_spans", "extract_doc_stats", "dedup_minhash_lsh",
@@ -38,12 +42,14 @@ def _slice(name: str, m: int):
         f"WHERE _corpus = {m}").fetchall()
 
 
-def test_sketch_fixtures_fresh():
+@pytest.mark.parametrize("sf", RECOMPUTE_SFS)
+def test_sketch_fixtures_fresh(sf):
     from tests import oracle_sketches as OS
-    m = _marker(SF_DIR)
+    sf_dir = f"/root/testdata/{sf}"
+    m = _marker(sf_dir)
     docs = duckdb.sql(
         f"SELECT doc_id, lang, text FROM "
-        f"read_parquet('{SF_DIR}/documents.parquet') "
+        f"read_parquet('{sf_dir}/documents.parquet') "
         f"ORDER BY doc_id").fetchall()
     dt = [(d, t) for d, _, t in docs]
     assert sorted(_slice("dedup_minhash_lsh", m)) == \
@@ -56,15 +62,49 @@ def test_sketch_fixtures_fresh():
     assert sorted(_slice("dedup_simhash", m)) == sigs
 
 
-def test_ann_fixtures_fresh():
+@pytest.mark.parametrize("sf", RECOMPUTE_SFS)
+def test_ann_fixtures_fresh(sf):
     import gen_fixtures as G
     from tests import oracle_sketches as OS
-    m = _marker(SF_DIR)
-    vecs = G.emb_table("sf0.001")
+    m = _marker(f"/root/testdata/{sf}")
+    vecs = G.emb_table(sf)
     assert sorted(_slice("ann_lsh_bucketed", m)) == \
         sorted(OS.ann_lsh_bucketed_rows(vecs))
     assert sorted(_slice("ann_lsh_multiprobe", m)) == \
         sorted(OS.ann_multiprobe_rows(vecs))
+
+
+def test_manifest_fresh():
+    """ADVICE r2 #5: slices not recomputed above (sf0.1's loop-based
+    layout oracle takes ~2 min) are still freshness-guarded: the baked
+    CHECKSUMS.json pins (a) the twin SOURCE digest, (b) every SF's
+    testdata marker, (c) a content hash of every fixture slice.  Any of
+    those drifting without a re-bake fails here, not at the driver
+    gate."""
+    import glob
+    import json
+    import os
+
+    import gen_fixtures as G
+    with open(f"{FIXTURE_DIR}/CHECKSUMS.json") as f:
+        man = json.load(f)
+    assert man["src_sha"] == G.src_digest(), \
+        "oracle-twin sources changed since bake — rerun gen_fixtures.py"
+    for sf, m in man["markers"].items():
+        assert G.marker(sf) == m, \
+            f"testdata {sf} regenerated — rerun gen_fixtures.py"
+    slice_files = sorted(glob.glob(f"{FIXTURE_DIR}/*.parquet"))
+    assert {os.path.basename(p)[:-len('.parquet')] for p in slice_files} \
+        == set(man["slices"])
+    for p in slice_files:
+        name = os.path.basename(p)[:-len(".parquet")]
+        for mk, digest in man["slices"][name].items():
+            assert G.slice_digest(p, int(mk)) == digest, \
+                f"{name} slice _corpus={mk} differs from bake"
+    for name, digest in man["inputs"].items():
+        assert G.slice_digest(
+            os.path.join(G.INPUTS, f"{name}.parquet"), None) == digest, \
+            f"fixture input {name} differs from bake"
 
 
 def test_extract_fixtures_fresh():
