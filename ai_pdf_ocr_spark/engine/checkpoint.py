@@ -37,7 +37,6 @@ def run_extraction(spark: SparkSession, documents: DataFrame,
     ``_bin_filter`` restricts processing to the given bins — used by the
     kill-and-rerun tests to simulate a job that died mid-corpus."""
     t0 = time.monotonic()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # deterministic bins MUST be derived from the full corpus (resume
     # filtering happens after) so reruns reproduce identical layout

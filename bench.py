@@ -111,16 +111,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     rowcounts: dict[str, int] = {}
     # steady-state protocol: one untimed warm pass (JIT/codegen/python
-    # worker spin-up), then the timed pass.  Timing action is count(),
-    # not collect(): the near-dup pair queries return ~2.3M rows at
-    # sf0.1 and driver-side Row marshaling measured ~5x the engine time
-    # (8.1s collect vs 1.4s count at local[8], round 2) — a pipeline
-    # consumer writes results out, it does not pull them into driver
-    # Python objects.  (Round-1 numbers used collect(); its
-    # dedup_ngram_jaccard 23.6s included the same marshaling tax.)
+    # worker spin-up; also records rowcounts), then timed passes.
+    # Timing action is a noop-format WRITE, not collect() and not
+    # count(): collect() adds driver Row-marshaling that measured ~5x
+    # the engine time on the 2.3M-row pair queries (8.1s vs 1.4s at
+    # local[8], round 2), while count() lets Catalyst prune output
+    # columns the count never touches (e.g. the rounded jaccard/cosine
+    # projections) — the noop sink consumes EVERY output column in the
+    # executors, which is what a real pipeline consumer (a parquet
+    # write) costs minus the codec.  (r1 used collect(); r2 used
+    # count(); deltas across rounds on large-output queries are
+    # protocol-confounded — the protocol string records which.)
     spark.range(1000).count()
     for name in HEADLINE:
-        reg[name].fn(spark, SF_DIR).count()
+        rowcounts[name] = reg[name].fn(spark, SF_DIR).count()
     # best-of-2 per query: this sandbox has multi-minute transient load
     # swings; the minimum is the better estimate of the engine's cost
     for name in HEADLINE:
@@ -128,10 +132,9 @@ def main() -> None:
         best = None
         for _ in range(2):
             t0 = time.monotonic()
-            n = q.fn(spark, SF_DIR).count()
+            q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = time.monotonic() - t0
             best = dt if best is None or dt < best else best
-            rowcounts[name] = n
         timings[name] = round(best, 3)
 
     n_docs = _EXTRACT_DOCS.get(sf_name, 2000)
@@ -145,9 +148,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "rows": rowcounts,
-        "protocol": "best-of-2 df.count() per query (engine-side; "
-                    "r1 used collect(), adding ~5x driver Row-marshal "
-                    "tax on the 2.3M-row pair queries)",
+        "protocol": "best-of-2 noop-format write per query (computes "
+                    "every output column executor-side, no driver "
+                    "marshal; r1 used collect() [~5x Row-marshal tax "
+                    "on 2.3M-row pair queries], r2 used count() "
+                    "[column-pruned below consumer cost])",
         "sf": sf,
         "cpus": CPUS,
         "extraction": {"n_docs": n_docs, **ext_stats},

@@ -318,3 +318,50 @@ def test_simhash_hot_bucket_split_exact(spark):
         for sb in range(4):
             sub_sizes[(sb, (comp >> (12 * sb)) & 0xFFF)] += 1
     assert max(sub_sizes.values()) <= SIMHASH_BUCKET_CAP
+
+
+def test_simhash_pairs_recall_on_planted_near_dups(spark, tmp_path):
+    """Semantic recall check (VERDICT r2 ask #8): the full Spark
+    pipeline (signatures + banded pairs) against exact token-Jaccard
+    ground truth on a PLANTED near-dup corpus — 1 base doc of 200
+    distinct tokens, 20 one-token-swap variants (token-Jaccard 0.990
+    with the base), 50 unrelated docs.  Everything is deterministic
+    (xxhash64 tokens), so the measured numbers are exact, not flaky:
+
+    - recall of hamming<=3 over the 20 jaccard=0.990 base-variant
+      pairs is 16/20 = 0.8 (a 1-token swap shifts each bit's sign-sum
+      by at most 2; bits with |sum| <= 2 can flip) — assert >= 0.75;
+    - precision on unrelated docs is perfect: zero cross pairs
+      (64-bit signatures of disjoint token sets; min observed hamming
+      between unrelated 200-token docs is ~20).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_pdf_ocr_spark.queries.dedup import dedup_simhash_pairs
+
+    base = [f"w{i}" for i in range(200)]
+    texts = [" ".join(base)]                       # doc 0: base
+    for i in range(20):                            # docs 1-20: variants
+        v = list(base)
+        v[i] = f"x{i}"
+        texts.append(" ".join(v))
+    for d in range(50):                            # docs 21-70: unrelated
+        texts.append(" ".join(f"d{d}w{i}" for i in range(200)))
+    n = len(texts)
+    pq.write_table(pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()),
+         "text": pa.array(texts),
+         "lang": pa.array(["en"] * n),
+         "source": pa.array(["synth"] * n),
+         "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    got = {(r.d1, r.d2)
+           for r in dedup_simhash_pairs(spark, str(tmp_path)).collect()}
+    base_variant = {(0, j) for j in range(1, 21)}  # all jaccard = 0.990
+    recall = len(got & base_variant) / len(base_variant)
+    assert recall >= 0.75, f"recall {recall} over jaccard=0.990 pairs"
+    unrelated = range(21, n)
+    assert not {(a, b) for a, b in got
+                if a in unrelated and b in unrelated}, \
+        "false positives between unrelated docs"
