@@ -65,6 +65,34 @@ class TableStore:
     def read_extracted(self) -> DataFrame:
         return self.spark.read.parquet(self.path("documents_extracted"))
 
+    def write_bucketed(self, df: DataFrame, name: str,
+                       n_buckets: int = 64,
+                       bucket_col: str = "doc_id") -> str:
+        """S6 bucketed sink — Spark-native ``bucketBy(N, doc_id)`` +
+        ``sortBy``, the in-sandbox analog of Iceberg's
+        ``partitionedBy(bucket(N, doc_id))`` transform (reference sink:
+        /root/reference/main.py save path; SURVEY.md §2 S6).
+
+        Why it matters at 100 TB: two tables bucketed the same way
+        (same column, same N) join WITHOUT shuffling either side — the
+        scan is already hash-partitioned by bucket file, so e.g.
+        re-joining extracted spans to a doc-metadata table, or the
+        resume anti-join against lineage, moves zero fact bytes across
+        the wire.  Equality filters on the bucket column also prune to
+        1/N of the files (``SelectedBucketsCount`` in the scan node).
+        Both properties are asserted in tests/test_sources.py.
+
+        Spark records bucket metadata in the session catalog, so the
+        table is addressed via ``spark.table(name)``; the files live
+        under the store root (external table).  On a durable deployment
+        the catalog entry is what Iceberg/HMS would persist."""
+        (df.write.format("parquet").mode("overwrite")
+         .bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+         .option("path", self.path(name))
+         .option("compression", self.codec)
+         .saveAsTable(name))
+        return name
+
     def append_checkpoint(self, df: DataFrame) -> None:
         (df.write.mode("append").option("compression", self.codec)
          .parquet(self.path("checkpoint")))

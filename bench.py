@@ -97,10 +97,30 @@ def bench_extraction(spark, n_docs: int) -> tuple[float, dict]:
                 "spans_in_per_sec": round(out.spans_in / dt, 1)}
 
 
+def _burn(_):
+    t0 = time.monotonic()
+    x = 0
+    while time.monotonic() - t0 < 2.0:
+        x += 1
+    return x
+
+
+def _calibrate(n: int = None) -> float:
+    """Raw-CPU capacity (counter Mops over 2 s across n procs) — this
+    box has multi-minute 2x tenancy swings (BASELINE.md), so every
+    capture records the window's calibration BRACKET; without it, a
+    cross-round delta cannot be attributed to code vs load."""
+    import multiprocessing as mp
+    n = n or CPUS
+    with mp.Pool(n) as p:
+        return round(sum(p.map(_burn, range(n))) / 1e6, 1)
+
+
 def main() -> None:
     from ai_pdf_ocr_spark.engine.session import build_session
     from ai_pdf_ocr_spark.queries import all_queries
 
+    cal_before = _calibrate()
     spark = build_session(app="bench", master=f"local[{CPUS}]",
                           shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -142,7 +162,10 @@ def main() -> None:
     timings["extract_spans"] = round(ext_s, 3)
 
     total = round(sum(timings.values()), 3)
+    spark.stop()
+    cal_after = _calibrate()
     print(json.dumps({
+        "calibration_Mops": [cal_before, cal_after],
         "metric": "headline query wall time (sum)",
         "value": total,
         "unit": "sec",
@@ -157,7 +180,6 @@ def main() -> None:
         "cpus": CPUS,
         "extraction": {"n_docs": n_docs, **ext_stats},
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

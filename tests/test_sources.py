@@ -58,3 +58,54 @@ def test_zstd_sink_roundtrip(spark, tmp_path):
     codecs = {meta.row_group(i).column(0).compression
               for i in range(meta.num_row_groups)}
     assert codecs == {"ZSTD"}
+
+
+def test_bucketed_sink_colocated_join_and_bucket_pruning(spark, tmp_path):
+    """S6 scale contract: (a) two tables bucketed by (doc_id, same N)
+    join with ZERO Exchange on either side — at 100 TB the fact bytes
+    never cross the wire; (b) an equality filter on the bucket column
+    prunes the scan to 1/N of the buckets (SelectedBucketsCount)."""
+    from pyspark.sql import functions as F
+
+    docs = documents_df(spark, make_documents(40, seed=5))
+    store = TableStore(spark, str(tmp_path / "store"))
+    extracted = extract_documents(docs)
+    t1 = store.write_bucketed(
+        extracted.select("doc_id", "spans"), "ext_b", n_buckets=8)
+    t2 = store.write_bucketed(
+        extracted.select("doc_id", "span_count_in", "dedup_removed"),
+        "stats_b", n_buckets=8)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table(t1).join(spark.table(t2), "doc_id")
+             .agg(F.count("*").alias("n"),
+                  F.sum("span_count_in").alias("s")))
+        row = j.collect()[0]
+        assert row.n == 40
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # the 1-row final agg may Exchange SinglePartition; the JOIN
+        # itself must not shuffle by key
+        assert "Exchange hashpartitioning" not in plan, \
+            "bucketed join must not shuffle"
+        assert "SelectedBucketsCount: 8 out of 8" in plan  # no filter
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # bucket PRUNING needs the scan to retain bucket layout; by default
+    # autoBucketedScan drops it on scan-only queries (no join/agg wants
+    # the distribution), trading pruning for partition coalescing —
+    # disable it for the point-lookup demonstration
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        some_doc = extracted.select("doc_id").limit(1).collect()[0].doc_id
+        q = spark.table(t1).where(F.col("doc_id") == some_doc)
+        assert q.count() == 1
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+    finally:
+        spark.conf.unset(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled")
