@@ -377,40 +377,47 @@ SIMHASH_MAX_HAMMING = 3
 SIMHASH_BUCKET_CAP = 64  # over-cap band buckets split, never dropped
 
 
-def simhash_pairs_from_sigs(sigs, cap=SIMHASH_BUCKET_CAP):
+def simhash_pairs_from_sigs(sigs, cap=SIMHASH_BUCKET_CAP, sig_bits=64):
     """hamming <= 3 pairs from (doc_id, simhash) rows — banded candidate
     generation with an EXACT hot-bucket split (VERDICT r2 ask #4).
 
-    Base scheme: 4 x 16-bit bands; 3 differing bits touch at most 3
-    bands, so every qualifying pair collides in >= 1 band (pigeonhole).
-    A boilerplate-heavy corpus makes one band value quadratic, and a
-    drop-cap would break exactness — instead, members of an over-cap
-    (band, bval) bucket are re-keyed by 4 x 12-bit SUB-bands over the
-    48 complement bits.  Exactness is a second pigeonhole: a qualifying
-    pair meeting in a hot band agrees on that band's 16 bits, so its
-    <= 3 diffs all lie in the 48 complement bits and at least one
-    12-bit sub-band is diff-free — the pair collides in that
-    sub-bucket.  Identical signatures always share every sub-bucket
-    (their B^2/2 pairs are true output, irreducible by any split).
+    Base scheme: 4 bands of sig_bits/4 bits; 3 differing bits touch at
+    most 3 bands, so every qualifying pair collides in >= 1 band
+    (pigeonhole).  A boilerplate-heavy corpus makes one band value
+    quadratic, and a drop-cap would break exactness — instead, members
+    of an over-cap (band, bval) bucket are re-keyed by 4 SUB-bands over
+    the complement bits.  Exactness is a second pigeonhole: a
+    qualifying pair meeting in a hot band agrees on that band's bits,
+    so its <= 3 diffs all lie in the complement and at least one
+    sub-band is diff-free — the pair collides in that sub-bucket.
+    Identical signatures always share every sub-bucket (their B^2/2
+    pairs are true output, irreducible by any split).
 
     Scale shape: bucket sizes come from a map-side-combinable groupBy
-    whose output is bounded by 4 * 2^16 distinct keys (broadcast back),
-    NOT a per-bucket window; only hot rows explode (x4).  The split
-    bounds a hot bucket's join fan-in to its largest sub-bucket."""
-    comp_mask = (1 << 48) - 1
+    whose output is bounded by 4 * 2^(sig_bits/4) distinct keys
+    (broadcast back), NOT a per-bucket window; only hot rows explode
+    (x4).  The split bounds a hot bucket's join fan-in to its largest
+    sub-bucket.
+
+    ``sig_bits``: 64 for document SimHash; 16 for the sign-LSH
+    embedding signatures (``similarity.py::dedup_embedding_verified``).
+    Bits above sig_bits must be zero."""
+    w = sig_bits // 4           # band width (16 for 64-bit sigs)
+    sub_w = (sig_bits - w) // 4  # sub-band width over the complement
+    comp_mask = (1 << (sig_bits - w)) - 1
     bands = []
     for b in range(4):
-        bval = (F.shiftrightunsigned(F.col("simhash"), 16 * b)
-                .bitwiseAND(F.lit(0xFFFF)))
-        # the other 3 bands' bits, packed low -> 48-bit complement
-        # (NB Java shifts are mod-64, so b=3 cannot use >>> 64)
-        if b == 3:
+        bval = (F.shiftrightunsigned(F.col("simhash"), w * b)
+                .bitwiseAND(F.lit((1 << w) - 1)))
+        # the other 3 bands' bits, packed low -> complement
+        # (NB Java shifts are mod-64, so the top band cannot use >>> 64)
+        if w * (b + 1) >= 64:
             comp = F.col("simhash").bitwiseAND(F.lit(comp_mask))
         else:
-            low = (F.col("simhash").bitwiseAND(F.lit((1 << (16 * b)) - 1))
+            low = (F.col("simhash").bitwiseAND(F.lit((1 << (w * b)) - 1))
                    if b > 0 else F.lit(0).cast("long"))
-            high = F.shiftrightunsigned(F.col("simhash"), 16 * (b + 1))
-            comp = low.bitwiseOR(F.shiftleft(high, 16 * b))
+            high = F.shiftrightunsigned(F.col("simhash"), w * (b + 1))
+            comp = low.bitwiseOR(F.shiftleft(high, w * b))
         bands.append(F.struct(F.lit(b).alias("band"), bval.alias("bval"),
                               comp.alias("comp")))
     banded = (sigs.select("doc_id", "simhash",
@@ -425,8 +432,8 @@ def simhash_pairs_from_sigs(sigs, cap=SIMHASH_BUCKET_CAP):
         F.lit(-1).alias("sub"), F.lit(0).cast("long").alias("sval"))
     subs = F.array(*[
         F.struct(F.lit(sb).alias("sub"),
-                 F.shiftrightunsigned(F.col("comp"), 12 * sb)
-                 .bitwiseAND(F.lit(0xFFF)).alias("sval"))
+                 F.shiftrightunsigned(F.col("comp"), sub_w * sb)
+                 .bitwiseAND(F.lit((1 << sub_w) - 1)).alias("sval"))
         for sb in range(4)
     ])
     hot = (banded.where(F.col("bsz") > cap)

@@ -199,6 +199,7 @@ def ann():
                                 "label", "cos_q")}
     probe = {k: [] for k in ("_corpus", "rank", "vec_id", "label",
                              "cosine")}
+    ev = {k: [] for k in ("_corpus", "v1", "v2", "hamming", "cosine")}
     for sf in SKETCH_SFS:
         m = marker(sf)
         vecs = emb_table(sf)
@@ -215,6 +216,12 @@ def ann():
             probe["vec_id"].append(v)
             probe["label"].append(lab)
             probe["cosine"].append(c)
+        for v1, v2, ham, c in OS.embedding_verified_pairs(vecs):
+            ev["_corpus"].append(m)
+            ev["v1"].append(v1)
+            ev["v2"].append(v2)
+            ev["hamming"].append(ham)
+            ev["cosine"].append(c)
     _write("ann_lsh_bucketed", bucketed,
            {"_corpus": pa.int64(), "bucket": pa.int32(),
             "rank": pa.int32(), "vec_id": pa.int64(),
@@ -223,6 +230,9 @@ def ann():
            {"_corpus": pa.int64(), "rank": pa.int32(),
             "vec_id": pa.int64(), "label": pa.int32(),
             "cosine": pa.float64()})
+    _write("dedup_embedding_verified", ev,
+           {"_corpus": pa.int64(), "v1": pa.int64(), "v2": pa.int64(),
+            "hamming": pa.int32(), "cosine": pa.float64()})
 
 
 # ------------------------------------------------- checksum manifest

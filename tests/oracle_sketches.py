@@ -301,6 +301,30 @@ def ann_multiprobe_rows(vectors: list[tuple], k: int = 10,
             for rank, (v, lab, c) in enumerate(cands[:k], start=1)]
 
 
+def embedding_verified_pairs(vectors: list[tuple], thr: float = 0.3,
+                             max_ham: int = 3) -> list[tuple]:
+    """Twin of queries/similarity.py::dedup_embedding_verified: 16-plane
+    sign signatures (same plane_weights/_fold_dot bit order as the ANN
+    twins), brute-force hamming<=3 pairs, exact-cosine verify ->
+    (v1, v2, hamming, round(cosine, 4)).  The banded+hot-split Spark
+    candidate generation is EXACT for hamming<=3, so brute force here
+    is the correct ground truth."""
+    sigs = [(v, ann_bucket(e)) for v, e, _ in vectors]
+    emb = {v: e for v, e, _ in vectors}
+    out = []
+    for i in range(len(sigs)):
+        v1, s1 = sigs[i]
+        for j in range(i + 1, len(sigs)):
+            v2, s2 = sigs[j]
+            ham = bin(s1 ^ s2).count("1")
+            if ham <= max_ham:
+                c = cosine_py(emb[v1], emb[v2])
+                if c >= thr:
+                    a, b = (v1, v2) if v1 < v2 else (v2, v1)
+                    out.append((a, b, ham, spark_round(c)))
+    return sorted(out)
+
+
 # ------------------------------------- extraction stats (doc_stats)
 
 def extract_doc_rows(doc: dict):

@@ -25,7 +25,7 @@ FIXTURE_QUERIES = [
     "extract_spans", "extract_doc_stats", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_jaccard_verified",
     "ann_lsh_bucketed", "ann_lsh_multiprobe", "s1_corpus_probe",
-    "j_media_asset_join",
+    "j_media_asset_join", "dedup_embedding_verified",
 ]
 
 
@@ -72,6 +72,8 @@ def test_ann_fixtures_fresh(sf):
         sorted(OS.ann_lsh_bucketed_rows(vecs))
     assert sorted(_slice("ann_lsh_multiprobe", m)) == \
         sorted(OS.ann_multiprobe_rows(vecs))
+    assert sorted(_slice("dedup_embedding_verified", m)) == \
+        OS.embedding_verified_pairs(vecs)
 
 
 def test_manifest_fresh():

@@ -365,3 +365,40 @@ def test_simhash_pairs_recall_on_planted_near_dups(spark, tmp_path):
     assert not {(a, b) for a, b in got
                 if a in unrelated and b in unrelated}, \
         "false positives between unrelated docs"
+
+
+def test_embedding_verified_finds_planted_near_dups(spark, tmp_path):
+    """dedup_embedding_verified on PLANTED near-duplicate vectors (the
+    sign-LSH designed regime): 5 tiny perturbations of one base vector
+    (cosine >= 0.999) plus 200 unrelated random vectors.  A cos~0.999
+    pair flips a plane with prob theta/pi ~ 0.8%, so all planted pairs
+    sit within signature hamming 3 (deterministic — fixed planes, fixed
+    data).  Asserts every planted pair is found with cosine >= 0.99 and
+    all emitted pairs are >= the 0.3 verify floor."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_pdf_ocr_spark.queries.similarity import dedup_embedding_verified
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(64).astype(np.float32)
+    vecs = [base]
+    for i in range(5):
+        p = base + rng.randn(64).astype(np.float32) * 0.01
+        vecs.append(p.astype(np.float32))
+    for _ in range(200):
+        vecs.append(rng.randn(64).astype(np.float32))
+    pq.write_table(pa.table(
+        {"vec_id": pa.array(range(len(vecs)), pa.int64()),
+         "embedding": pa.array([list(map(float, v)) for v in vecs],
+                               pa.list_(pa.float32())),
+         "label": pa.array([0] * len(vecs), pa.int32())}),
+        str(tmp_path / "embeddings.parquet"))
+    got = {(r.v1, r.v2): r.cosine
+           for r in dedup_embedding_verified(spark, str(tmp_path)).collect()}
+    planted = {(a, b) for a in range(6) for b in range(a + 1, 6)}
+    missing = planted - set(got)
+    assert not missing, f"planted near-dup pairs missed: {missing}"
+    assert all(got[p] >= 0.99 for p in planted)
+    assert all(c >= 0.3 for c in got.values())
