@@ -215,3 +215,84 @@ def stream_extract(spark: SparkSession, input_path: str, store: TableStore,
 
 def read_stream_extracted(spark: SparkSession, store: TableStore) -> DataFrame:
     return spark.read.parquet(store.path(STREAM_TABLE))
+
+
+def stream_windowed_event_metrics(spark: SparkSession, input_path: str,
+                                  checkpoint_dir: str, out_path: str,
+                                  window: str = "10 minutes",
+                                  watermark: str = "20 minutes") -> None:
+    """Event-time windowed aggregation with a WATERMARK over a
+    continuously-landing events stream (schema = the ``events`` table:
+    event_id, ts, user_id, event_type, value, props).
+
+    Semantics (append mode): each (window) row is emitted EXACTLY ONCE,
+    when the watermark — max observed event time minus the lateness
+    bound — passes the window end.  Events arriving late but within
+    the bound still count toward their (still-open) window; events
+    later than the bound are dropped.  This is what bounds the
+    streaming state at 100 TB/day: without the watermark every window
+    ever seen stays in the state store forever; with it, state is
+    O(windows inside the lateness horizon) and the no-data micro-batch
+    flushes closed windows even when the source idles.
+
+    Drain-mode trigger (availableNow) like ``stream_extract``: each
+    call processes the unseen files and advances the persisted
+    watermark; emission of the final open windows happens on a later
+    drain once newer events push the watermark past them.  Exactly-once
+    file tracking + sink manifest come from the streaming checkpoint.
+
+    (Beyond-reference surface: the batch analog is
+    queries/relational.py::w_lag_gap_sessions over the same table.)"""
+    ev = (spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+          .parquet(input_path))
+    agg = (ev.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window).alias("w"))
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("value_sum")))
+    out = agg.select(F.col("w.start").cast("string").alias("window_start"),
+                     F.col("w.end").cast("string").alias("window_end"),
+                     "n_events", "value_sum")
+    q = (out.writeStream.outputMode("append").format("parquet")
+         .option("path", out_path)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def stream_sessionize(spark: SparkSession, input_path: str,
+                      checkpoint_dir: str, out_path: str,
+                      gap: str = "30 minutes",
+                      watermark: str = "30 minutes") -> None:
+    """Streaming sessionization via native ``session_window`` (merging
+    event-time windows that grow while events keep arriving within
+    ``gap``), the streaming analog of the batch lag-gap operator
+    (queries/relational.py::w_lag_gap_sessions, same 30-min gap) —
+    cross-paradigm parity is asserted in tests/test_streaming.py.
+
+    A session emits exactly once, when the watermark passes its close
+    (last event + gap).  State is bounded by the watermark horizon.
+    Spark-first note: session semantics are fully expressible with the
+    built-in session_window + watermark, so no stateful UDF is needed
+    — ``applyInPandasWithState`` stays the escape hatch for semantics
+    the built-ins cannot express (none in this engine)."""
+    ev = (spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+          .parquet(input_path))
+    agg = (ev.withWatermark("ts", watermark)
+           .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("value_sum")))
+    out = agg.select("user_id",
+                     F.col("w.start").cast("string").alias("session_start"),
+                     F.col("w.end").cast("string").alias("session_end"),
+                     "n_events", "value_sum")
+    q = (out.writeStream.outputMode("append").format("parquet")
+         .option("path", out_path)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

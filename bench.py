@@ -36,6 +36,8 @@ HEADLINE = [
     "text_quality_score",
     "ann_bruteforce_topk",
     "w_lag_gap_sessions",
+    "dedup_embedding_verified",  # r3: sign-LSH + exact-cosine verify
+    "release_pipeline",          # r3: composed gate->dedup->split->decon
 ]
 
 

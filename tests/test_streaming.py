@@ -151,3 +151,128 @@ def test_cross_epoch_dedup_flags(spark, tmp_path, corpus):
         assert flags[d["doc_id"]] == (False, False), d["doc_id"]
     for d in wave1:
         assert flags[d["doc_id"]] == (False, False), d["doc_id"]
+
+
+def test_windowed_metrics_watermark_late_data(spark, tmp_path):
+    """Watermarked windowed agg (10-min windows, 20-min lateness):
+    across three drains, (a) a window emits EXACTLY ONCE, when the
+    watermark passes its end; (b) an event later than the bound is
+    DROPPED (never appears in any emission); (c) a late-but-in-bound
+    event still counts toward its open window."""
+    import datetime as dt
+
+    from ai_pdf_ocr_spark.engine.streaming import (
+        stream_windowed_event_metrics)
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def _land(minute_vals, name):
+        rows = [(i, base + dt.timedelta(minutes=m), 1, "x", float(v), "{}")
+                for i, (m, v) in enumerate(minute_vals)]
+        (spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+         .coalesce(1).write.mode("append")
+         .parquet(str(tmp_path / "in" / name)))
+        # one drain per landing: move the file into the watched dir
+        import shutil
+        src = tmp_path / "in" / name
+        for f in src.glob("*.parquet"):
+            shutil.move(str(f), str(tmp_path / "events" / f.name))
+
+    (tmp_path / "events").mkdir()
+
+    def drain():
+        stream_windowed_event_metrics(
+            spark, str(tmp_path / "events"),
+            str(tmp_path / "ckpt"), str(tmp_path / "out"))
+
+    def emitted():
+        import glob
+        if not glob.glob(str(tmp_path / "out" / "*.parquet")):
+            return {}
+        return {r.window_start[11:16]: (r.n_events, r.value_sum)
+                for r in spark.read.parquet(str(tmp_path / "out"))
+                .collect()}
+
+    # drain 1: events at 00:01, 00:05, 00:12, 00:35 -> watermark 00:15
+    # closes [00:00,00:10) with 2 events
+    _land([(1, 1.0), (5, 2.0), (12, 4.0), (35, 8.0)], "f1")
+    drain()
+    assert emitted() == {"00:00": (2, 3.0)}
+
+    # drain 2: 00:03 is BEYOND the bound (watermark 00:15) -> dropped;
+    # 00:16 is late-but-in-bound for the open [00:10,00:20) window;
+    # 00:55 pushes the watermark to 00:35, closing [00:10,00:20)
+    _land([(3, 100.0), (16, 16.0), (55, 32.0)], "f2")
+    drain()
+    assert emitted() == {"00:00": (2, 3.0), "00:10": (2, 20.0)}
+
+    # drain 3: 01:30 -> watermark 01:10 closes [00:30,00:40) and
+    # [00:50,01:00); the 01:30 window stays open (emits on a future
+    # drain).  The dropped 00:03 event appears NOWHERE.
+    _land([(90, 64.0)], "f3")
+    drain()
+    assert emitted() == {"00:00": (2, 3.0), "00:10": (2, 20.0),
+                         "00:30": (1, 8.0), "00:50": (1, 32.0)}
+
+
+def test_stream_sessionize_matches_batch_lag_gap(spark, tmp_path):
+    """Cross-paradigm parity: native session_window streaming sessions
+    over the REAL sf0.001 events table (landed in two drains, so open
+    sessions survive in state between drains) produce exactly the
+    per-user session counts of the batch lag-gap operator
+    (w_lag_gap_sessions, same 30-min gap), and per-user event totals
+    are conserved."""
+    import datetime as dt
+
+    from ai_pdf_ocr_spark.engine.streaming import stream_sessionize
+    from ai_pdf_ocr_spark.queries.relational import w_lag_gap_sessions
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    # the raw table is TIMESTAMP_NTZ; the stream schema (and
+    # session_window) want TIMESTAMP — cast once here (gap semantics
+    # are timezone-shift invariant, so batch parity is unaffected)
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    lo, hi = ev.selectExpr("min(ts)", "max(ts)").first()
+    mid = lo + (hi - lo) / 2
+    (tmp_path / "events").mkdir()
+
+    def drain():
+        stream_sessionize(spark, str(tmp_path / "events"),
+                          str(tmp_path / "ckpt"), str(tmp_path / "out"))
+
+    def land(df, name):
+        # the flat-file stream source does not recurse: stage the
+        # write, then move the part files into the watched dir
+        import shutil
+        stage = tmp_path / "stage" / name
+        df.coalesce(1).write.parquet(str(stage))
+        for f in stage.glob("*.parquet"):
+            shutil.move(str(f), str(tmp_path / "events" / f"{name}_{f.name}"))
+
+    land(ev.where(F.col("ts") <= F.lit(mid)), "w1")
+    drain()
+    land(ev.where(F.col("ts") > F.lit(mid)), "w2")
+    drain()
+    # sentinel far past the horizon: advances the GLOBAL watermark so
+    # every real user's final open session closes and emits
+    flush = [(10 ** 9, hi + dt.timedelta(hours=2), -1, "x", 0.0, "{}")]
+    land(spark.createDataFrame(
+        flush, "event_id long, ts timestamp, user_id long, "
+               "event_type string, value double, props string"), "w3")
+    drain()
+
+    got = (spark.read.parquet(str(tmp_path / "out"))
+           .where(F.col("user_id") >= 0))
+    stream_counts = {(r.user_id): (r.n_sessions, r.n_events) for r in
+                     got.groupBy("user_id")
+                     .agg(F.count("*").alias("n_sessions"),
+                          F.sum("n_events").cast("long").alias("n_events"))
+                     .collect()}
+    batch = {r.user_id: (r.n_sessions, r.n_events)
+             for r in w_lag_gap_sessions(spark, sf).collect()}
+    assert stream_counts == batch
