@@ -536,7 +536,7 @@ FROM r GROUP BY s
           sql=_SCALED_RESOLVE_SQL.replace("__FIX__", FIXTURE_DIR))
 def dedup_cluster_resolve_scaled(spark, sf_dir):
     """The complete corpus-SCALE dedup pipeline as one operator:
-    MinHash-LSH candidates -> exact bitmask verify -> connected
+    MinHash-LSH candidates -> exact token-hash-set verify -> connected
     components -> keeper selection.  This is the composition a 10^12-
     doc run executes (the exact-pairs variant above is the ground-truth
     twin); every stage's shuffle is bounded (band keys, candidate

@@ -272,3 +272,131 @@ def dedup_embedding_verified(spark, sf_dir):
         .where(F.col("_raw") >= EMB_VERIFY_THRESHOLD)
         .drop("_raw")
     )
+
+
+# ----------------------------------------------------------- IVF ANN
+
+IVF_K = 8             # coarse-quantizer lists
+IVF_NPROBE = 2        # lists probed per query
+IVF_ITERS = 2         # Lloyd refinement passes (fixed -> deterministic)
+IVF_SAMPLE_STRIDE = 8    # training sample: vec_id % STRIDE == 1
+IVF_SAMPLE_CAP = 4096    # hard bound on the driver-side collect
+
+
+def _l2_sq(a, b):
+    """Driver-side squared L2 in index order — every IEEE-754
+    intermediate matches the Spark-side zip_with/aggregate fold AND the
+    fixture twin (tests/oracle_sketches.py)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def _ivf_assign_py(e, cens):
+    best, bd = 0, None
+    for cid, cen in enumerate(cens):
+        d = _l2_sq(e, cen)
+        if bd is None or d < bd:       # strict < : ties keep lowest cid
+            best, bd = cid, d
+    return best
+
+
+def _ivf_train(sample):
+    """Deterministic k-means on the (bounded, ordered) training sample
+    — plain sequential float64 ops so the fixture twin reproduces every
+    intermediate.  init = first K sample vectors; an emptied list keeps
+    its previous centroid (standard IVF trainer behavior)."""
+    cens = [list(e) for e in sample[:IVF_K]]
+    for _ in range(IVF_ITERS):
+        members = [[] for _ in cens]
+        for e in sample:
+            members[_ivf_assign_py(e, cens)].append(e)
+        for cid, mem in enumerate(members):
+            if mem:
+                n = len(mem)
+                cens[cid] = [sum(m[i] for m in mem) / n
+                             for i in range(len(cens[cid]))]
+    return cens
+
+
+@register("ann_ivf_topk", sql=fixture_sql("ann_ivf_topk"))
+def ann_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN: the centroid-structured scale path the
+    sign-LSH buckets cannot give (LSH buckets are data-oblivious; IVF
+    lists adapt to the data distribution, the standard production ANN
+    layout).  Top-10 cosine neighbors of vec_id=0 scanning only
+    IVF_NPROBE of IVF_K lists.
+
+    Stages, and their 10^9-vector shape:
+      1. TRAIN (driver, bounded): deterministic k-means (IVF_ITERS
+         Lloyd passes) on a <=IVF_SAMPLE_CAP sample (vec_id stride +
+         limit) — sample training is how production IVF trains
+         (clustering on the full corpus is never paid); the collect is
+         bounded like every other driver-side collect in this repo.
+      2. ASSIGN (distributed, ZERO shuffle): one broadcast row carries
+         array<struct<cid,cen>>; a per-row HOF argmin over it gives
+         each vector its list id in the scan-project stage.  The
+         embedding is materialized as a column FIRST — a HOF lambda
+         referencing the raw transform() child would re-evaluate it
+         per centroid (the measured O(len^2) Catalyst trap,
+         CLAUDE.md).  At ingest a production run would persist this
+         assignment partitioned BY list_id, making the probe below
+         partition pruning instead of a filter.
+      3. PROBE + SEARCH: q-to-centroid distances rank the lists
+         driver-side (K tiny); only vectors in the IVF_NPROBE nearest
+         lists get the exact cosine; top-k via orderBy().limit() ->
+         TakeOrderedAndProject (never a global Window).
+
+    Oracle: fixture via the independent pure-Python twin
+    (tests/oracle_sketches.py::ivf_topk_rows)."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+
+    sample = [list(r.emb) for r in
+              (e.where(F.pmod("vec_id", F.lit(IVF_SAMPLE_STRIDE)) == 1)
+               .orderBy("vec_id").limit(IVF_SAMPLE_CAP)
+               .select(emb.alias("emb")).collect())]
+    cens = _ivf_train(sample)
+    q_emb = list(e.where(F.col("vec_id") == 0)
+                 .select(emb.alias("emb")).first().emb)
+    probed = [cid for _, cid in
+              sorted((_l2_sq(q_emb, c), cid)
+                     for cid, c in enumerate(cens))[:IVF_NPROBE]]
+
+    cen_row = spark.createDataFrame(
+        [(list(enumerate(cens)),)],
+        "cens array<struct<cid:int,cen:array<double>>>")
+    # distances first (each centroid's fold computed exactly ONCE into
+    # a (d, cid) array column), then a cheap field-ref argmin fold —
+    # folding with the distance expression inline in the argmin lambda
+    # would evaluate it twice per centroid (condition + kept struct)
+    dists = F.transform(
+        F.col("cens"),
+        lambda c: F.struct(
+            F.aggregate(F.zip_with(F.col("emb"), c["cen"],
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda a, v: a + v).alias("d"),
+            c["cid"].alias("cid")))
+    argmin = F.aggregate(
+        F.col("_dc"),
+        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("cid")),
+        lambda acc, p: F.when(p["d"] < acc["d"], p).otherwise(acc))
+    assigned = (e.where(F.col("vec_id") != 0)
+                .withColumn("emb", emb)
+                .crossJoin(F.broadcast(cen_row))
+                .withColumn("_dc", dists)
+                .select("vec_id", "label", "emb",
+                        argmin["cid"].alias("list_id")))
+
+    q = e.where(F.col("vec_id") == 0).select(emb.alias("qe"))
+    top = (assigned.where(F.col("list_id").isin(probed))
+           .crossJoin(F.broadcast(q))
+           .select("vec_id", "label", "list_id",
+                   _cosine(F.col("emb"), F.col("qe")).alias("_c"))
+           .orderBy(F.desc("_c"), "vec_id").limit(10))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("_c"), "vec_id")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "vec_id", "label", "list_id",
+                    F.round("_c", 4).alias("cosine")))

@@ -200,9 +200,18 @@ def ann():
     probe = {k: [] for k in ("_corpus", "rank", "vec_id", "label",
                              "cosine")}
     ev = {k: [] for k in ("_corpus", "v1", "v2", "hamming", "cosine")}
+    ivf = {k: [] for k in ("_corpus", "rank", "vec_id", "label",
+                           "list_id", "cosine")}
     for sf in SKETCH_SFS:
         m = marker(sf)
         vecs = emb_table(sf)
+        for rank, v, lab, cid, c in OS.ivf_topk_rows(vecs):
+            ivf["_corpus"].append(m)
+            ivf["rank"].append(rank)
+            ivf["vec_id"].append(v)
+            ivf["label"].append(lab)
+            ivf["list_id"].append(cid)
+            ivf["cosine"].append(c)
         for b, rank, v, lab, c in OS.ann_lsh_bucketed_rows(vecs):
             bucketed["_corpus"].append(m)
             bucketed["bucket"].append(b)
@@ -233,6 +242,10 @@ def ann():
     _write("dedup_embedding_verified", ev,
            {"_corpus": pa.int64(), "v1": pa.int64(), "v2": pa.int64(),
             "hamming": pa.int32(), "cosine": pa.float64()})
+    _write("ann_ivf_topk", ivf,
+           {"_corpus": pa.int64(), "rank": pa.int32(),
+            "vec_id": pa.int64(), "label": pa.int32(),
+            "list_id": pa.int32(), "cosine": pa.float64()})
 
 
 # ------------------------------------------------- checksum manifest

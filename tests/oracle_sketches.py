@@ -370,3 +370,57 @@ def extract_doc_rows(doc: dict):
         "filtered": filtered,
     }
     return out, document_text, metrics
+
+
+# ------------------------------------------------------------ IVF ANN
+
+IVF_K, IVF_NPROBE, IVF_ITERS = 8, 2, 2
+IVF_SAMPLE_STRIDE, IVF_SAMPLE_CAP = 8, 4096
+
+
+def _l2_py(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def _ivf_assign(e, cens):
+    best, bd = 0, None
+    for cid, cen in enumerate(cens):
+        d = _l2_py(e, cen)
+        if bd is None or d < bd:       # strict < : ties keep lowest cid
+            best, bd = cid, d
+    return best
+
+
+def ivf_topk_rows(vectors: list[tuple], k: int = 10) -> list[tuple]:
+    """Twin of queries/similarity.py::ann_ivf_topk: stride-sampled
+    deterministic k-means train (Lloyd, fixed passes, empty list keeps
+    its centroid), per-vector argmin list assignment, nprobe-list
+    exact-cosine search -> (rank, vec_id, label, list_id, cosine).
+    ``vectors`` must be sorted by vec_id (the operator's sample collect
+    is orderBy(vec_id)); all float ops are sequential in index/member
+    order, matching the Spark-side folds bit-for-bit."""
+    sample = [e for v, e, _ in vectors
+              if v % IVF_SAMPLE_STRIDE == 1][:IVF_SAMPLE_CAP]
+    cens = [list(e) for e in sample[:IVF_K]]
+    for _ in range(IVF_ITERS):
+        members = [[] for _ in cens]
+        for e in sample:
+            members[_ivf_assign(e, cens)].append(e)
+        for cid, mem in enumerate(members):
+            if mem:
+                n = len(mem)
+                cens[cid] = [sum(m[i] for m in mem) / n
+                             for i in range(len(cens[cid]))]
+    q = next(e for v, e, _ in vectors if v == 0)
+    probed = {cid for _, cid in
+              sorted((_l2_py(q, c), cid)
+                     for cid, c in enumerate(cens))[:IVF_NPROBE]}
+    cands = [(v, lab, cid, cosine_py(e, q))
+             for v, e, lab in vectors if v != 0
+             for cid in (_ivf_assign(e, cens),) if cid in probed]
+    cands.sort(key=lambda m: (-m[3], m[0]))
+    return [(rank, v, lab, cid, spark_round(c))
+            for rank, (v, lab, cid, c) in enumerate(cands[:k], start=1)]

@@ -187,3 +187,18 @@ if _HYP:
         got = _run_kernel([doc])["fuzz-0001"]
         want = O.extract_document(doc["spans"])
         assert got == want
+
+
+def test_xxh64_published_vectors():
+    """Published XXH64 test vectors — an implementation check
+    INDEPENDENT of both Spark and the fixture twins (VERDICT r2 #8:
+    shrink the twin shared-bug surface).  Sources: the xxHash spec's
+    empty-input value, the widely-cited "abc" vector, and the seeded
+    example from the python-xxhash documentation.  (The >=32-byte
+    4-lane main loop is independently covered by the bit-parity test
+    against Spark's own Scala XxHash64 in tests/test_queries.py.)"""
+    from ai_pdf_ocr_spark.kernel.xxh64 import xxh64
+
+    assert xxh64(b"", seed=0) == 0xEF46DB3751D8E999
+    assert xxh64(b"abc", seed=0) == 0x44BC2CF5AD770999
+    assert xxh64(b"xxhash", seed=20141025) == 13067679811253438005

@@ -114,3 +114,15 @@ def test_multiprobe_topk_no_global_window(spark):
     plan = _executed_plan(
         all_queries()["ann_lsh_multiprobe"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_ivf_assignment_no_shuffle(spark):
+    """ann_ivf_topk's executed plan: list assignment is a broadcast
+    nested-loop over ONE centroid row + a per-row HOF argmin — no hash
+    Exchange anywhere before the TakeOrderedAndProject top-k (the
+    whole search is scan -> project -> filter -> broadcast join ->
+    per-partition heaps)."""
+    from ai_pdf_ocr_spark.queries import all_queries
+    plan = _executed_plan(all_queries()["ann_ivf_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
