@@ -277,3 +277,79 @@ def release_pipeline(spark, sf_dir):
     return joined.select("doc_id", "lang", "split",
                          reason.alias("drop_reason"),
                          reason.isNull().alias("released"))
+
+
+# ------------------------------------------------- sequence packing
+
+_CTX = 2048     # tokens per training context window
+_NSHARDS = 8    # independent packing streams (scale dial, see below)
+
+_PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(((doc_id % {P}) * {A}) % {P} % {S} AS INT) AS shard,
+         CAST(LENGTH(LIST_FILTER(
+             STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[ \t\n\x0B\f\r]+'),
+             t -> LENGTH(t) > 0)) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS cum
+  FROM t)
+SELECT doc_id, shard, n_tokens,
+       cum // {C} AS seq_id,
+       cum % {C} AS tok_offset,
+       CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+            ELSE (cum + n_tokens - 1) // {C} - cum // {C} + 1
+       END AS n_windows
+FROM c
+""".replace("{P}", str(_P)).replace("{A}", str(_A)) \
+   .replace("{S}", str(_NSHARDS)).replace("{C}", str(_CTX))
+
+
+@register("pack_sequences", sql=_PACK_SQL)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing for training batches: documents are
+    concatenated in deterministic order and chopped into fixed
+    _CTX-token context windows (the standard LLM pretraining layout —
+    no padding waste), emitted as per-doc placement metadata
+    (doc_id, shard, n_tokens, seq_id, tok_offset, n_windows) that a
+    writer turns into token streams.
+
+    Scale shape: packing is embarrassingly parallel ACROSS shards and
+    inherently sequential WITHIN one (each doc's offset depends on
+    every prior doc in its stream) — so the corpus is split into
+    _NSHARDS independent streams by the same Lehmer id-hash as
+    sample_hash_split, and the only shuffle is the window's
+    partitionBy(shard).  _NSHARDS is the scale dial: production sets
+    it ~ the writer count so each shard's ORDER BY doc_id sort fits an
+    executor (10^12 docs / 10^5 shards = 10^7-doc sorts); global
+    contiguity across shards is not a training requirement.  All
+    arithmetic is integer (window SUM, DIV, MOD) — no float drift.
+
+    A doc may straddle windows (n_windows > 1): concatenate-and-chop
+    semantics, exactly GPT-style packing.  Empty docs (0 tokens)
+    occupy no window."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    shard = F.pmod(F.pmod(F.pmod("doc_id", F.lit(_P)) * F.lit(_A),
+                          F.lit(_P)), F.lit(_NSHARDS)).cast("int")
+    t = d.select("doc_id", shard.alias("shard"),
+                 F.size(toks).cast("long").alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    c = t.withColumn("cum", F.coalesce(F.sum("n_tokens").over(w),
+                                       F.lit(0)).cast("long"))
+    return c.select(
+        "doc_id", "shard", "n_tokens",
+        F.expr(f"cum DIV {_CTX}").alias("seq_id"),
+        F.pmod("cum", F.lit(_CTX)).cast("long").alias("tok_offset"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+         .otherwise(F.expr(f"(cum + n_tokens - 1) DIV {_CTX} - "
+                           f"cum DIV {_CTX} + 1")).alias("n_windows"))

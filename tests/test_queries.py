@@ -447,3 +447,26 @@ def test_ivf_scan_fraction(spark):
     out = ann_ivf_topk(spark, SF_DIR).collect()
     assert 0 < len(out) <= 10
     assert len({r.list_id for r in out}) <= IVF_NPROBE < IVF_K
+
+
+def test_pack_sequences_stream_conservation(spark):
+    """Packing invariants per shard: offsets live in [0, CTX); the
+    token stream is gapless (every doc starts exactly where the
+    previous one ended: seq_id*CTX + tok_offset == running token sum);
+    total windows touched = ceil(shard tokens / CTX)."""
+    from ai_pdf_ocr_spark.queries.corpus_ops import _CTX, pack_sequences
+
+    rows = pack_sequences(spark, SF_DIR).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r.doc_id)
+        run = 0
+        for r in docs:
+            assert 0 <= r.tok_offset < _CTX
+            assert r.seq_id * _CTX + r.tok_offset == run, (shard, r)
+            run += r.n_tokens
+        touched = max(r.seq_id + r.n_windows for r in docs)
+        assert touched == -(-run // _CTX), (shard, touched, run)
