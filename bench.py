@@ -38,6 +38,8 @@ HEADLINE = [
     "w_lag_gap_sessions",
     "dedup_embedding_verified",  # r3: sign-LSH + exact-cosine verify
     "release_pipeline",          # r3: composed gate->dedup->split->decon
+    "ann_ivf_topk",              # r3: IVF train/assign/probe ANN
+    "pack_sequences",            # r3: context-window packing
 ]
 
 
