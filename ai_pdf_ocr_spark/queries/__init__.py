@@ -78,7 +78,7 @@ def fixture_sql(name: str) -> str:
 
 def all_queries() -> dict[str, Q]:
     # import side-effect registration
-    from . import (corpus_ops, dedup, multimodal, relational,  # noqa: F401
-                   similarity, text_analysis)
+    from . import (corpus_ops, curation, dedup, multimodal,  # noqa: F401
+                   relational, similarity, text_analysis)
     from .. import flagship  # noqa: F401
     return dict(REGISTRY)

@@ -41,6 +41,10 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF_DIR}/{t}.parquet')")
     reg = all_queries()
+    if len(sys.argv) > 2:  # optional substring filters for fast loops
+        pats = sys.argv[2].split(",")
+        reg = {k: v for k, v in reg.items()
+               if any(p in k for p in pats)}
     bad, ok = [], 0
     for name in sorted(reg):
         q = reg[name]
