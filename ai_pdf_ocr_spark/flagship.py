@@ -70,11 +70,25 @@ def extract_spans(spark, sf_dir):
     oracle reads the expected output materialized by the pure-Python
     reference-parity oracle (tests/oracle.py via gen_fixtures.py) —
     the driver now hash-checks the kernel end-to-end."""
-    docs = synthetic_documents(spark, sf_dir)
-    parts = min(8, max(2, corpus_size(sf_dir) // 100))
+    n = corpus_size(sf_dir)
+    # generate ON the executors (identical docs: both paths call
+    # build_document(f"doc-{i:08d}", 42)); r1-r2 built the corpus
+    # driver-side + createDataFrame, which serialized 2000 nested docs
+    # through the driver INSIDE the timed query and capped the stage at
+    # 8 partitions — that, not the kernel, dominated the bench row.
+    # Lazy localCheckpoint: the weighted-repartition stats pass and the
+    # extraction pass share ONE generation (same single-compute pattern
+    # as the dedup self-joins).
+    docs = (synthetic_documents_distributed(spark, n)
+            .localCheckpoint(eager=False))
+    from .engine.partitioning import extraction_bins
+    dp = spark.sparkContext.defaultParallelism
+    parts = max(2, min(extraction_bins(dp), n // 25))
     extracted = extract_documents(weighted_repartition(docs, parts))
-    return (extracted_spans_flat(extracted)
-            .orderBy("doc_id", "pos"))
+    # no global orderBy: the driver's value-hash compare normalizes row
+    # order (VERDICT r2 #4 — keep the presentation sort out of the
+    # production path the bench times)
+    return extracted_spans_flat(extracted)
 
 
 @register("extract_doc_stats", sql=fixture_sql("extract_doc_stats"))
