@@ -268,6 +268,79 @@ def shard_global_shuffle(spark, sf_dir):
                     F.row_number().over(w).cast("long").alias("pos"))
 
 
+# --------------------------------------------- corpus distributions
+
+_QUANTS = (0.5, 0.9, 0.99)
+
+
+@register("corpus_length_quantiles", sql=f"""
+SELECT lang,
+       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+       ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+       ROUND(quantile_cont(n_chars, 0.99), 4) AS p99_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+""")
+def corpus_length_quantiles(spark, sf_dir):
+    """Per-language document-length quantiles (p50/p90/p99) — the
+    distribution report that sizes context windows, truncation policy,
+    and skew handling for a corpus release.  Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` both linearly interpolate, so the twins
+    agree exactly (rounded).
+
+    Scale note: exact percentile holds per-group sorted state — fine
+    for per-lang groups (|langs| groups, n_chars is one long per doc).
+    A 100 TB run flips to ``approx_percentile`` (t-digest, map-side
+    combinable) at the cost of the oracle twin; the report shape is
+    identical."""
+    d = load(spark, sf_dir, "documents")
+    qs = [F.round(F.expr(f"percentile(n_chars, {q})"), 4)
+          .alias(f"p{int(q * 100)}_chars") for q in _QUANTS]
+    return (d.groupBy("lang")
+            .agg(*qs, F.max("n_chars").cast("long").alias("max_chars"),
+                 F.count("*").alias("n_docs")))
+
+
+_TOPN = 20
+
+
+@register("corpus_top_ngrams", sql=f"""
+WITH toks AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)),
+                 '{_WS}'), t -> LENGTH(t) > 0) AS ts
+  FROM documents),
+bg AS (
+  SELECT UNNEST([ARRAY_TO_STRING(ts[CAST(i AS INT):CAST(i + 1 AS INT)],
+                                 ' ')
+                 FOR i IN GENERATE_SERIES(1, LENGTH(ts) - 1)]) AS bigram
+  FROM toks WHERE LENGTH(ts) >= 2)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM bg GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram LIMIT {_TOPN}
+""")
+def corpus_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-{_TOPN} word bigrams — the n-gram frequency
+    table used for boilerplate discovery and contamination screens.
+
+    Scale shape: explode -> map-side-combinable groupBy on the bigram
+    key -> ``orderBy().limit()`` = TakeOrderedAndProject (per-partition
+    top-N, merged on the driver) — NEVER a global sort or a
+    single-partition window.  Ties broken by bigram text in both
+    engines so the cut at N is deterministic."""
+    d = _spread(load(spark, sf_dir, "documents"))
+    base = d.select(_tokens(F.col("text")).alias("ts"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("ts") - 2),
+        lambda i: F.concat_ws(" ", F.slice("ts", i + 1, 2)))
+    return (base.where(F.size("ts") >= 2)
+            .select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram")
+            .agg(F.count("*").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), "bigram")
+            .limit(_TOPN))
+
+
 # ------------------------------------------------------ PII scrub
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -119,6 +119,16 @@ def test_shard_shuffle_single_exchange(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_top_ngrams_is_top_n_not_global_sort(spark):
+    """Corpus top-N must compile to TakeOrderedAndProject (per-partition
+    top-N), never a global sort or single-partition window."""
+    from ai_pdf_ocr_spark.queries.curation import corpus_top_ngrams
+    plan = _executed_plan(corpus_top_ngrams(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_mixture_fact_side_never_hash_shuffles(spark):
     """The corpus side joins the tiny per-lang threshold table via
     BROADCAST; the only hash Exchanges are the tiny aggregates'
