@@ -616,3 +616,81 @@ def _resolve_components(spark, d, pairs):
             .select("doc_id", F.col("label").alias("cluster_id"),
                     (F.col("label") == F.col("doc_id")).alias("keep"),
                     "n_reachable"))
+
+
+# --------------------------------------- substring-level duplication
+
+_SPAN_W = 8  # tokens per sliding window
+
+
+@register("dedup_duplicate_spans", sql=f"""
+WITH toks AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)),
+                     '[ \\t\\n\\x0B\\f\\r]+'), t -> LENGTH(t) > 0) AS ts
+  FROM documents),
+wins AS (
+  SELECT doc_id,
+         UNNEST([ARRAY_TO_STRING(
+                     ts[CAST(i AS INT):CAST(i + {_SPAN_W - 1} AS INT)],
+                     ' ')
+                 FOR i IN GENERATE_SERIES(1, LENGTH(ts) - {_SPAN_W - 1})])
+             AS win
+  FROM toks WHERE LENGTH(ts) >= {_SPAN_W}),
+pwd AS (SELECT doc_id, win, COUNT(*) AS cnt FROM wins GROUP BY 1, 2),
+dup AS (SELECT win FROM pwd GROUP BY win HAVING COUNT(*) >= 2),
+perdoc AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_dup_windows
+  FROM pwd JOIN dup USING (win) GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(LENGTH(ts) - {_SPAN_W - 1} AS BIGINT) AS n_windows,
+       CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       ROUND(COALESCE(p.n_dup_windows, 0) * 1.0
+             / (LENGTH(ts) - {_SPAN_W - 1}), 4) AS dup_frac
+FROM toks t LEFT JOIN perdoc p USING (doc_id)
+WHERE LENGTH(ts) >= {_SPAN_W}
+""")
+def dedup_duplicate_spans(spark, sf_dir):
+    """Substring-level duplication report: for every doc, the fraction
+    of its sliding {W}-token windows whose exact token sequence also
+    appears in ANOTHER doc (or again in the same doc) — the Spark
+    re-expression of suffix-array substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    window duplicated across docs marks boilerplate / templated spans
+    that document-level MinHash misses.
+
+    Scale shape: explode (one row per window position) -> map-side
+    combinable groupBy on (doc_id, win) -> groupBy(win) for the
+    cross-doc count -> join back and per-doc sum.  All keys are
+    uniform (window content / doc_id): no skew hazard beyond a
+    pathological single repeated string, which the groupBy's partial
+    aggregation absorbs map-side.  At 100 TB the window STRING never
+    needs to shuffle: key by xxhash64(win) so 8-byte longs cross the
+    wire (collision P < 1e-8 at 10^12 windows); the string form here
+    keeps the DuckDB oracle exact — flip documented, same plan shape.
+    """
+    d = _spread(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("ts"))
+    base = (toks.where(F.size("ts") >= _SPAN_W)
+            .select("doc_id", "ts",
+                    (F.size("ts") - (_SPAN_W - 1)).cast("long")
+                    .alias("n_windows")))
+    wins = base.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("ts") - _SPAN_W),
+            lambda i: F.concat_ws(" ", F.slice("ts", i + 1, _SPAN_W))))
+        .alias("win"))
+    pwd = wins.groupBy("doc_id", "win").agg(F.count("*").alias("cnt"))
+    dup = (pwd.groupBy("win").agg(F.count("*").alias("nd"))
+           .where(F.col("nd") >= 2).select("win"))
+    perdoc = (pwd.join(dup, "win")
+              .groupBy("doc_id")
+              .agg(F.sum("cnt").cast("long").alias("n_dup_windows")))
+    return (base.drop("ts").join(perdoc, "doc_id", "left")
+            .select("doc_id", "n_windows",
+                    F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+                    .alias("n_dup_windows"),
+                    F.round(F.coalesce("n_dup_windows", F.lit(0))
+                            * F.lit(1.0) / F.col("n_windows"), 4)
+                    .alias("dup_frac")))

@@ -498,3 +498,64 @@ def f10_name_format(spark, sf_dir):
                                 F.col("doc_id")).alias("ckpt_name"))
         .orderBy("doc_id")
     )
+
+
+@register("j_events_asof", sql="""
+WITH probe AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+ref AS (
+  SELECT event_id AS m_event_id, user_id, ts AS m_ts
+  FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+       m.m_event_id AS matched_click_id,
+       CAST(epoch_us(p.ts) - epoch_us(m.m_ts) AS BIGINT) AS gap_us
+FROM probe p ASOF LEFT JOIN ref m
+  ON p.user_id = m.user_id AND p.ts >= m.m_ts
+""")
+def j_events_asof(spark, sf_dir):
+    """AS-OF join: for each 'error' event, the most recent 'click' by
+    the same user at-or-before the error's timestamp — the temporal
+    join Spark has no native operator for (DuckDB: ASOF JOIN; the
+    oracle uses it directly).
+
+    Implemented as the union-window trick, NOT a range join: tag probe
+    rows side=1 and reference rows side=0, union, then
+    ``last(ref_id, ignorenulls=True)`` over a per-user window ordered
+    by (ts, side, event_id) rows UNBOUNDED PRECEDING..CURRENT.  At
+    equal timestamps the reference row sorts first (side 0 < 1), so
+    the match is inclusive (ts >= ref.ts) exactly like the oracle's
+    ASOF predicate; ties among equal-ts references resolve to the max
+    event_id deterministically (none exist in the synthetic data —
+    verified unique (user_id, ts) at every SF).
+
+    Scale shape: ONE Exchange on user_id + a per-user sort — never the
+    O(probe x ref) explosion of an inequality theta-join, and no
+    per-row Python.  Skewed users (one user = one partition's sort) are
+    the known hazard; a 100 TB run adds a coarse time-bucket to the
+    partition key and stitches bucket boundaries by carrying each
+    bucket's last reference row forward (the standard watermarked
+    variant of this trick)."""
+    from pyspark.sql import Window
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    probe = (e.where(F.col("event_type") == "error")
+             .select("event_id", "user_id", us.alias("ts_us"),
+                     F.lit(1).alias("side"),
+                     F.lit(None).cast("long").alias("m_id"),
+                     F.lit(None).cast("long").alias("m_us")))
+    ref = (e.where(F.col("event_type") == "click")
+           .select("event_id", "user_id", us.alias("ts_us"),
+                   F.lit(0).alias("side"),
+                   F.col("event_id").alias("m_id"), us.alias("m_us")))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts_us", "side", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (probe.unionByName(ref)
+            .select("event_id", "user_id", "ts_us", "side",
+                    F.last("m_id", ignorenulls=True).over(w)
+                    .alias("matched_click_id"),
+                    F.last("m_us", ignorenulls=True).over(w).alias("m_us"))
+            .where(F.col("side") == 1)
+            .select("event_id", "user_id", "ts_us", "matched_click_id",
+                    (F.col("ts_us") - F.col("m_us")).alias("gap_us")))

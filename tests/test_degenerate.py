@@ -14,6 +14,7 @@ DOC_QUERIES = [
     "dedup_cluster_resolve", "sample_hash_split",
     "decontaminate_ngram_overlap", "text_token_count",
     "text_quality_score", "text_langid_heuristic",
+    "dedup_duplicate_spans",
 ]
 
 

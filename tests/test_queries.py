@@ -470,3 +470,73 @@ def test_pack_sequences_stream_conservation(spark):
             run += r.n_tokens
         touched = max(r.seq_id + r.n_windows for r in docs)
         assert touched == -(-run // _CTX), (shard, touched, run)
+
+
+def test_asof_join_semantics(spark):
+    """Every matched click is the max-ts click at-or-before the error
+    for that user; unmatched errors precede the user's first click."""
+    from ai_pdf_ocr_spark.queries import all_queries
+    out = all_queries()["j_events_asof"].fn(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    clicks = {}
+    for e in ev:
+        if e.event_type == "click":
+            clicks.setdefault(e.user_id, []).append(e)
+    import datetime as dt
+    epoch = dt.datetime(1970, 1, 1)
+    us = lambda t: int((t - epoch).total_seconds() * 1e6 + 0.5)
+    by_id = {e.event_id: e for e in ev}
+    assert len(out) > 0
+    n_matched = 0
+    for r in out:
+        prior = [c for c in clicks.get(r.user_id, [])
+                 if us(c.ts) <= r.ts_us]
+        if r.matched_click_id is None:
+            assert prior == []
+        else:
+            n_matched += 1
+            best = max(prior, key=lambda c: (us(c.ts), c.event_id))
+            assert r.matched_click_id == best.event_id
+            assert r.gap_us == r.ts_us - us(best.ts) >= 0
+    assert n_matched > 0
+
+
+def test_asof_join_single_exchange(spark):
+    """The union-window as-of join shuffles exactly once (user_id) —
+    never a range-join explosion."""
+    import re
+    from ai_pdf_ocr_spark.queries import all_queries
+    df = all_queries()["j_events_asof"].fn(spark, SF_DIR)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, \
+        plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_spans_planted(spark, tmp_path):
+    """Two docs sharing an 8-token run are both flagged with exactly
+    the shared window positions; a unique doc reports zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ai_pdf_ocr_spark.queries import all_queries
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    texts = {
+        1: shared + " one two three",          # windows 1..4; 1 shared
+        2: "zero " + shared,                   # windows 1..2; 1 shared
+        3: "india juliet kilo lima mike november oscar papa quebec",
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["synth"] * 3, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts.values()], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in all_queries()["dedup_duplicate_spans"]
+            .fn(spark, str(tmp_path)).collect()}
+    assert rows[1].n_windows == 4 and rows[1].n_dup_windows == 1
+    assert rows[2].n_windows == 2 and rows[2].n_dup_windows == 1
+    assert rows[3].n_windows == 2 and rows[3].n_dup_windows == 0
+    assert rows[1].dup_frac == 0.25
