@@ -196,3 +196,73 @@ def text_fingerprint_winnow(spark, sf_dir):
                  .cast("long").alias("n_windows"))
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------ TF-IDF terms
+
+_TFIDF_K = 3
+
+
+@register("text_tfidf_top_terms", sql=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)),
+                     '[ \t\n\x0B\f\r]+'), t -> LENGTH(t) > 0) AS ts
+  FROM documents),
+tf AS (
+  SELECT doc_id, UNNEST(ts) AS term FROM toks),
+tfc AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tf GROUP BY 1, 2),
+dfc AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM toks
+      WHERE LENGTH(ts) > 0),
+scored AS (
+  SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+         tfc.tf * (LN((n.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0)
+             AS score
+  FROM tfc JOIN dfc USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, df,
+       CAST(rank AS INT) AS rank, ROUND(score, 4) AS score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+      FROM scored)
+WHERE rank <= {_TFIDF_K}
+""")
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-{K} TF-IDF terms (smooth idf:
+    ``ln((N+1)/(df+1)) + 1``, sklearn's formulation) — the keyword /
+    topic-signal extraction every corpus explorer runs.
+
+    Determinism: the score's float expression tree is spelled
+    identically in both engines (same operand order -> same IEEE
+    doubles -> same ordering); ties broken by term text; ROUND applied
+    only to the OUTPUT, never the sort key.
+
+    Scale shape: explode -> map-side-combinable (doc_id, term) counts
+    -> per-term doc-frequency agg (uniform term keys) -> join back.
+    The df table is |vocab| rows — broadcast here; at web scale it
+    exceeds broadcast and degrades gracefully to an SMJ on the uniform
+    term key (never a driver collect — the N scalar is a 1-row cross
+    join, not a collected literal).  Top-k is a per-doc window over
+    ~|doc vocab| rows — keys are doc_id: no skew, no global window."""
+    from pyspark.sql import Window
+    from .dedup import _spread, _tokens
+    d = _spread(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("ts"))
+    tfc = (toks.select("doc_id", F.explode("ts").alias("term"))
+           .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dfc = tfc.groupBy("term").agg(F.count("*").alias("df"))
+    n = (toks.where(F.size("ts") > 0)
+         .agg(F.count("*").alias("n_docs")))
+    score = (F.col("tf")
+             * (F.log((F.col("n_docs") + F.lit(1.0))
+                      / (F.col("df") + F.lit(1.0))) + F.lit(1.0)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (tfc.join(dfc, "term").crossJoin(F.broadcast(n))
+            .select("doc_id", "term", "tf", "df", score.alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TFIDF_K)
+            .select("doc_id", "term", "tf", "df", "rank",
+                    F.round("score", 4).alias("score")))
