@@ -40,6 +40,9 @@ HEADLINE = [
     "release_pipeline",          # r3: composed gate->dedup->split->decon
     "ann_ivf_topk",              # r3: IVF train/assign/probe ANN
     "pack_sequences",            # r3: context-window packing
+    "dedup_duplicate_spans",     # r3: substring-level dup windows
+    "j_events_asof",             # r3: as-of join (union-window)
+    "text_tfidf_top_terms",      # r3: per-doc TF-IDF keywords
 ]
 
 
