@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import load, register
+from . import load, micro, register
 
 # CJK code-point ranges, /root/reference/pdf_processor.py:14-19 (P6)
 CJK_RE_SPARK = "[\\u3040-\\u309F\\u30A0-\\u30FF\\u4E00-\\u9FAF\\uFF65-\\uFF9F]"
@@ -115,7 +115,7 @@ def q5_nation_revenue(spark, sf_dir):
 
 
 # ------------------------------------------------- P4-P11 filter/project
-@register("p4_nonempty_filter", sql="""
+@micro("p4_nonempty_filter", sql="""
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 WHERE LENGTH(TRIM(text)) > 0
@@ -132,7 +132,7 @@ def p4_nonempty_filter(spark, sf_dir):
     )
 
 
-@register("p6_cjk_predicate", sql=f"""
+@micro("p6_cjk_predicate", sql=f"""
 SELECT lang,
        CAST(SUM(CASE WHEN regexp_matches(text, '{CJK_RE_DUCK}')
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_cjk,
@@ -150,7 +150,7 @@ def p6_cjk_predicate(spark, sf_dir):
     )
 
 
-@register("p7_font_select", sql=f"""
+@micro("p7_font_select", sql=f"""
 SELECT CASE WHEN regexp_matches(text, '{CJK_RE_DUCK}') THEN 'japan'
             ELSE 'helv' END AS fontname,
        COUNT(*) AS n_docs
@@ -166,7 +166,7 @@ def p7_font_select(spark, sf_dir):
     )
 
 
-@register("p10_fontsize_clamp", sql="""
+@micro("p10_fontsize_clamp", sql="""
 SELECT l_returnflag,
        ROUND(AVG(GREATEST(LEAST(l_quantity * 0.8, 12), 6)), 4) AS avg_fs,
        ROUND(MIN(GREATEST(LEAST(l_quantity * 0.8, 12), 6)), 4) AS min_fs,
@@ -187,7 +187,7 @@ def p10_fontsize_clamp(spark, sf_dir):
     )
 
 
-@register("p9_rescale_projection", sql="""
+@micro("p9_rescale_projection", sql="""
 SELECT l_linestatus,
        ROUND(SUM(l_extendedprice * 72.0 / 200.0), 2) AS total_pt
 FROM lineitem GROUP BY l_linestatus
@@ -203,7 +203,7 @@ def p9_rescale_projection(spark, sf_dir):
 
 
 # ------------------------------------------------------- A1-A7 aggregates
-@register("a1_ordered_text_concat", sql="""
+@micro("a1_ordered_text_concat", sql="""
 SELECT lang, MD5(STRING_AGG(SUBSTR(text, 1, 16), ' ' ORDER BY doc_id))
          AS concat_md5,
        COUNT(*) AS n_docs
@@ -232,7 +232,7 @@ def a1_ordered_text_concat(spark, sf_dir):
     )
 
 
-@register("a7_argmax_doc", sql="""
+@micro("a7_argmax_doc", sql="""
 SELECT lang, doc_id AS max_doc_id, n_chars AS max_n_chars FROM (
   SELECT lang, doc_id, n_chars,
          ROW_NUMBER() OVER (PARTITION BY lang
@@ -255,7 +255,7 @@ def a7_argmax_doc(spark, sf_dir):
 
 
 # ------------------------------------------------------ windows / limits
-@register("w7_row_number", sql="""
+@micro("w7_row_number", sql="""
 SELECT user_id, event_id, rn FROM (
   SELECT user_id, event_id,
          ROW_NUMBER() OVER (PARTITION BY user_id
@@ -275,7 +275,7 @@ def w7_row_number(spark, sf_dir):
     )
 
 
-@register("w9_topk_preview", sql="""
+@micro("w9_topk_preview", sql="""
 SELECT event_id, user_id, event_type, ROUND(value, 2) AS value_r
 FROM events ORDER BY value DESC, event_id LIMIT 5
 """)
@@ -290,7 +290,7 @@ def w9_topk_preview(spark, sf_dir):
 
 
 # --------------------------------------------------------------- joins
-@register("j4_resume_anti_join", sql="""
+@micro("j4_resume_anti_join", sql="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_customers_without_orders
 FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
 """)
@@ -305,7 +305,7 @@ def j4_resume_anti_join(spark, sf_dir):
     )
 
 
-@register("so2_except_types", sql="""
+@micro("so2_except_types", sql="""
 SELECT event_type FROM events
 EXCEPT
 SELECT event_type FROM events WHERE value > 280
@@ -319,7 +319,7 @@ def so2_except_types(spark, sf_dir):
             .subtract(e.where(F.col("value") > 280).select("event_type")))
 
 
-@register("so1_union_all_counts", sql="""
+@micro("so1_union_all_counts", sql="""
 SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM (
   SELECT 'hi' AS src FROM events WHERE value > 150
   UNION ALL
@@ -336,7 +336,7 @@ def so1_union_all_counts(spark, sf_dir):
     return hi.unionByName(err).groupBy("src").agg(F.count("*").alias("n"))
 
 
-@register("p8_direction_scale", sql="""
+@micro("p8_direction_scale", sql="""
 SELECT event_type,
        ROUND(SUM(CASE WHEN user_id % 2 = 0 THEN value * 0.9
                  ELSE value END), 2) AS adj_total
@@ -352,7 +352,7 @@ def p8_direction_scale(spark, sf_dir):
             .agg(F.round(F.sum(adj), 2).alias("adj_total")))
 
 
-@register("f5_array_minmax", sql="""
+@micro("f5_array_minmax", sql="""
 SELECT vec_id,
        ROUND(CAST(LIST_MIN(embedding) AS DOUBLE), 4) AS emb_min,
        ROUND(CAST(LIST_MAX(embedding) AS DOUBLE), 4) AS emb_max,
@@ -375,7 +375,7 @@ def f5_array_minmax(spark, sf_dir):
     )
 
 
-@register("f2_substring_preview", sql="""
+@micro("f2_substring_preview", sql="""
 SELECT doc_id, SUBSTR(text, 1, 20) AS preview, lang
 FROM documents WHERE doc_id < 10
 """)
@@ -387,7 +387,7 @@ def f2_substring_preview(spark, sf_dir):
                     "lang"))
 
 
-@register("w_lag_gap_sessions", sql="""
+@micro("w_lag_gap_sessions", sql="""
 SELECT user_id,
        CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
@@ -418,7 +418,7 @@ def w_lag_gap_sessions(spark, sf_dir):
     )
 
 
-@register("p5_tiny_box_filter", sql="""
+@micro("p5_tiny_box_filter", sql="""
 SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_kept,
        CAST(SUM(p_size) AS BIGINT) AS total_size
 FROM part WHERE p_size * 72.0 / 200.0 >= 1
@@ -438,7 +438,7 @@ def p5_tiny_box_filter(spark, sf_dir):
     )
 
 
-@register("p11_baseline_offset", sql="""
+@micro("p11_baseline_offset", sql="""
 SELECT event_type,
        ROUND(AVG(value + GREATEST(LEAST(value * 0.8, 12), 6)), 4)
          AS avg_baseline
@@ -457,7 +457,7 @@ def p11_baseline_offset(spark, sf_dir):
     )
 
 
-@register("a3_avg_empty_guard", sql="""
+@micro("a3_avg_empty_guard", sql="""
 SELECT user_id,
        ROUND(COALESCE(AVG(CASE WHEN event_type = 'error' THEN value END),
                       0.0), 4) AS avg_error_value,
@@ -481,7 +481,7 @@ def a3_avg_empty_guard(spark, sf_dir):
     )
 
 
-@register("f10_name_format", sql="""
+@micro("f10_name_format", sql="""
 SELECT doc_id,
        CONCAT('doc-', LPAD(CAST(doc_id AS VARCHAR), 8, '0'),
               '_ocr_results.json') AS ckpt_name
@@ -500,7 +500,7 @@ def f10_name_format(spark, sf_dir):
     )
 
 
-@register("j_events_asof", sql="""
+_ASOF_SQL = """
 WITH probe AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
 ref AS (
@@ -512,7 +512,10 @@ SELECT p.event_id, p.user_id,
        CAST(epoch_us(p.ts) - epoch_us(m.m_ts) AS BIGINT) AS gap_us
 FROM probe p ASOF LEFT JOIN ref m
   ON p.user_id = m.user_id AND p.ts >= m.m_ts
-""")
+"""
+
+
+@register("j_events_asof", sql=_ASOF_SQL)
 def j_events_asof(spark, sf_dir):
     """AS-OF join: for each 'error' event, the most recent 'click' by
     the same user at-or-before the error's timestamp — the temporal
@@ -532,10 +535,11 @@ def j_events_asof(spark, sf_dir):
     Scale shape: ONE Exchange on user_id + a per-user sort — never the
     O(probe x ref) explosion of an inequality theta-join, and no
     per-row Python.  Skewed users (one user = one partition's sort) are
-    the known hazard; a 100 TB run adds a coarse time-bucket to the
-    partition key and stitches bucket boundaries by carrying each
-    bucket's last reference row forward (the standard watermarked
-    variant of this trick)."""
+    the known hazard; ``j_events_asof_bucketed`` below is the
+    skew-hardened variant (coarse time-bucket in the partition key +
+    carry-forward of each bucket's last reference row), equal output
+    by construction (same oracle; equality + skew pinned in
+    tests/test_plans.py)."""
     from pyspark.sql import Window
     e = load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -559,3 +563,174 @@ def j_events_asof(spark, sf_dir):
             .where(F.col("side") == 1)
             .select("event_id", "user_id", "ts_us", "matched_click_id",
                     (F.col("ts_us") - F.col("m_us")).alias("gap_us")))
+
+
+# 6-hour coarse time buckets: the skew dial for the as-of join.  At
+# 100 TB pick the bucket so (hottest user's events per bucket) fits one
+# task's sort comfortably; smaller buckets = more parallelism, more
+# carry-forward seed rows (one per probe bucket — trivial either way).
+_ASOF_BUCKET_US = 6 * 3600 * 1_000_000
+
+
+@register("j_events_asof_bucketed", sql=_ASOF_SQL)
+def j_events_asof_bucketed(spark, sf_dir):
+    """Skew-hardened as-of join — the remediation ``j_events_asof``'s
+    docstring promises (VERDICT r3 ask #5), same output and same DuckDB
+    ASOF oracle.
+
+    The union-window trick partitions by user_id alone, so one hot user
+    (half the events) serializes into a single task's sort.  Here the
+    partition key is (user_id, time_bucket): a hot user's events spread
+    over its time range, and correctness across bucket boundaries is
+    restored by SEEDING each bucket with a carry-forward row holding
+    the user's most recent reference event from all earlier buckets:
+
+      1. per-(user, bucket) last reference row — a map-side-combinable
+         ``max(struct(ts, id))`` aggregate, tiny output;
+      2. running carry-in per bucket via a per-user window over BUCKETS
+         (rows = user's distinct buckets, bounded by time range /
+         bucket width — independent of event skew);
+      3. seed rows sort first in their bucket (side -1 at the bucket's
+         start timestamp), so ``last(ref, ignorenulls)`` sees the
+         carry-in until a same-bucket reference supersedes it.
+
+    Shuffle shape: one Exchange on (user_id, bkt) for the big union +
+    two tiny aggregates; the per-task sort is now bounded by events per
+    (user, bucket).  Equality vs the unbucketed operator on a 50%-skew
+    corpus is pinned in tests/test_plans.py."""
+    from pyspark.sql import Window
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bkt = F.floor(us / _ASOF_BUCKET_US).cast("long")
+    probe = (e.where(F.col("event_type") == "error")
+             .select("event_id", "user_id", us.alias("ts_us"),
+                     bkt.alias("bkt"), F.lit(1).alias("side"),
+                     F.lit(None).cast("long").alias("m_id"),
+                     F.lit(None).cast("long").alias("m_us")))
+    ref = (e.where(F.col("event_type") == "click")
+           .select("event_id", "user_id", us.alias("ts_us"),
+                   bkt.alias("bkt"), F.lit(0).alias("side"),
+                   F.col("event_id").alias("m_id"), us.alias("m_us")))
+    # last reference per (user, bucket): lexicographic struct max ==
+    # latest ts, ties to max id — the same tie-break the window form
+    # resolves via its (ts, side, event_id) ordering
+    rb = (ref.groupBy("user_id", "bkt")
+          .agg(F.max(F.struct("m_us", "m_id")).alias("last_ref")))
+    pb = probe.select("user_id", "bkt").distinct()
+    allb = pb.union(rb.select("user_id", "bkt")).distinct()
+    wseq = (Window.partitionBy("user_id").orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    carry = (allb.join(rb, ["user_id", "bkt"], "left")
+             .withColumn("carry", F.max("last_ref").over(wseq))
+             .where(F.col("carry").isNotNull()))
+    seed = carry.select(F.lit(None).cast("long").alias("event_id"),
+                        "user_id",
+                        (F.col("bkt") * _ASOF_BUCKET_US).alias("ts_us"),
+                        "bkt", F.lit(-1).alias("side"),
+                        F.col("carry.m_id").alias("m_id"),
+                        F.col("carry.m_us").alias("m_us"))
+    w = (Window.partitionBy("user_id", "bkt")
+         .orderBy("ts_us", "side", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (probe.unionByName(ref).unionByName(seed)
+            .select("event_id", "user_id", "ts_us", "side",
+                    F.last("m_id", ignorenulls=True).over(w)
+                    .alias("matched_click_id"),
+                    F.last("m_us", ignorenulls=True).over(w).alias("m_us"))
+            .where(F.col("side") == 1)
+            .select("event_id", "user_id", "ts_us", "matched_click_id",
+                    (F.col("ts_us") - F.col("m_us")).alias("gap_us")))
+
+
+# ------------------------------------- streaming analytics batch twins
+# (VERDICT r3 ask #7: the streaming engine's windowed metrics and
+# sessionization had pytest parity only — these batch twins give the
+# same window/session semantics a driver CORRECTNESS row.)
+
+@register("w_tumbling_event_metrics", sql="""
+SELECT CAST(epoch_us(ts) - epoch_us(ts) % 600000000 AS BIGINT)
+         AS window_start_us,
+       CAST(epoch_us(ts) - epoch_us(ts) % 600000000 + 600000000 AS BIGINT)
+         AS window_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS value_sum,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+""")
+def w_tumbling_event_metrics(spark, sf_dir):
+    """10-minute tumbling event-time windows — the BATCH twin of
+    ``engine/streaming.py::stream_windowed_event_metrics`` (same
+    ``F.window`` operator the watermarked stream runs; batch/stream
+    parity asserted in tests/test_streaming.py).
+
+    Oracle note: Spark tumbling windows are epoch-aligned, so the
+    DuckDB twin derives the window bounds with exact BIGINT microsecond
+    arithmetic (``us - us % width``) — no float epochs, no
+    timestamp-to-string formatting.
+
+    Scale shape: one map-side-combinable groupBy on the window start
+    (uniform keys — time buckets); countDistinct rewrites to a two-
+    phase expand+agg, still partial-aggregated."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window(F.col("ts").cast("timestamp"),
+                           "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("value_sum"),
+             F.countDistinct("user_id").cast("long").alias("n_users"))
+        .select(F.unix_micros("w.start").alias("window_start_us"),
+                F.unix_micros("w.end").alias("window_end_us"),
+                "n_events", "value_sum", "n_users")
+    )
+
+
+@register("w_session_window_agg", sql="""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id))
+                   >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start_us,
+       CAST(MAX(epoch_us(ts)) + 1800000000 AS BIGINT) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS value_sum
+FROM s GROUP BY user_id, sid
+""")
+def w_session_window_agg(spark, sf_dir):
+    """Per-user session windows (30-minute gap) via native
+    ``session_window`` — the BATCH twin of
+    ``engine/streaming.py::stream_sessionize`` (same operator, same
+    gap; batch/stream parity asserted in tests/test_streaming.py).
+
+    Semantics pinned against the oracle: a session's window is
+    [first_ts, last_ts + gap); an event exactly ``gap`` after the
+    previous one starts a NEW session (Spark's end bound is exclusive,
+    hence the oracle's ``>= gap`` split).  Bounds are exact BIGINT
+    microseconds on both sides.
+
+    Scale shape: session_window is a per-user sort + merge — one
+    Exchange on user_id; state per task bounded by that user's events
+    (the skew dial for a hot user is the same time-bucket trick as
+    ``j_events_asof_bucketed``)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window(F.col("ts").cast("timestamp"),
+                                   "30 minutes").alias("w"),
+                  "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("value_sum"))
+        .select("user_id",
+                F.unix_micros("w.start").alias("session_start_us"),
+                F.unix_micros("w.end").alias("session_end_us"),
+                "n_events", "value_sum")
+    )
