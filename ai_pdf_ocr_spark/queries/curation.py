@@ -114,6 +114,11 @@ def text_repetition_stats(spark, sf_dir):
         F.size(F.array_distinct("ts")).alias("n_dist"),
         F.size("ls").alias("n_lines"),
         F.size(F.array_distinct("ls")).alias("n_dist_lines"))
+    # single-compute: `top` below is DERIVED from per (bigram explode)
+    # and joined back onto per — materialize once or the tokenize/HOF
+    # projection runs on both join sides (self-join recompute trap,
+    # CLAUDE.md; ADVICE r3)
+    per = per.localCheckpoint(eager=False)
     # ts is a materialized column, so the HOF lambda references a leaf
     # — no per-element re-evaluation (CLAUDE.md HOF trap)
     bigrams = F.transform(

@@ -653,8 +653,13 @@ WHERE LENGTH(ts) >= {_SPAN_W}
 def dedup_duplicate_spans(spark, sf_dir):
     """Substring-level duplication report: for every doc, the fraction
     of its sliding {W}-token windows whose exact token sequence also
-    appears in ANOTHER doc (or again in the same doc) — the Spark
-    re-expression of suffix-array substring dedup (Lee et al. 2021,
+    appears in at least one OTHER doc (cross-doc only: ``dup`` counts
+    DISTINCT docs per window, so a window repeated solely within one
+    doc is never flagged — within-doc repetition is
+    ``curation.py::text_repetition_stats``'s signal; semantics pinned
+    by tests/test_queries.py::test_duplicate_spans_within_doc_repeat)
+    — the Spark re-expression of suffix-array substring dedup (Lee
+    et al. 2021,
     "Deduplicating Training Data Makes Language Models Better"): a
     window duplicated across docs marks boilerplate / templated spans
     that document-level MinHash misses.

@@ -252,7 +252,13 @@ def text_tfidf_top_terms(spark, sf_dir):
     d = _spread(load(spark, sf_dir, "documents"))
     toks = d.select("doc_id", _tokens(F.col("text")).alias("ts"))
     tfc = (toks.select("doc_id", F.explode("ts").alias("term"))
-           .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+           .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+           # single-compute: dfc below is DERIVED from tfc and joined
+           # back onto it — without materializing, the scan+tokenize+
+           # explode+groupBy subtree executes on BOTH join sides (the
+           # repo's documented self-join recompute trap, CLAUDE.md;
+           # plan-pinned in tests/test_plans.py)
+           .localCheckpoint(eager=False))
     dfc = tfc.groupBy("term").agg(F.count("*").alias("df"))
     n = (toks.where(F.size("ts") > 0)
          .agg(F.count("*").alias("n_docs")))

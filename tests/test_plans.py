@@ -126,3 +126,75 @@ def test_ivf_assignment_no_shuffle(spark):
     plan = _executed_plan(all_queries()["ann_ivf_topk"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "Exchange hashpartitioning" not in plan, plan[:2000]
+
+
+def test_tfidf_single_compute(spark):
+    """text_tfidf_top_terms derives its df table FROM the tf table and
+    joins the two — the lazy localCheckpoint must make the scan+
+    tokenize+explode subtree execute ONCE (self-join recompute trap,
+    CLAUDE.md; ADVICE r3): the final plan joins two ExistingRDD scans
+    of the same checkpoint and contains no Generate at all."""
+    from ai_pdf_ocr_spark.queries import all_queries
+    plan = _executed_plan(
+        all_queries()["text_tfidf_top_terms"].fn(spark, SF_DIR))
+    assert _count(r"Generate explode", plan) == 0, plan[:2000]
+    assert "ExistingRDD" in plan, plan[:2000]
+
+
+def test_repetition_stats_single_compute(spark):
+    """text_repetition_stats joins the bigram-derived top table back
+    onto its own source projection — same single-compute requirement."""
+    from ai_pdf_ocr_spark.queries import all_queries
+    plan = _executed_plan(
+        all_queries()["text_repetition_stats"].fn(spark, SF_DIR))
+    # the only explode left is the bigram fan-out on the checkpointed
+    # side; the per-doc token/line HOF projection is not recomputed
+    assert _count(r"Generate explode", plan) <= 1, plan[:2000]
+    assert "ExistingRDD" in plan, plan[:2000]
+
+
+def _skew_events_sf(tmp_path):
+    """Synthetic events where ONE user owns 50% of all rows — the
+    as-of join's named skew hazard."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(2000):  # hot user 7: every other event
+        uid = 7 if i % 2 == 0 else 100 + (i % 37)
+        ts = base + datetime.timedelta(minutes=13 * i % 100000,
+                                       seconds=i % 59)
+        kind = "error" if i % 5 == 0 else ("click" if i % 3 == 0
+                                           else "view")
+        rows.append((eid, ts, uid, kind, float(i % 311)))
+        eid += 1
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_asof_bucketed_equals_base_on_skewed_user(spark, tmp_path):
+    """The skew-hardened as-of join must return EXACTLY the base
+    operator's rows on a corpus where one user holds 50% of events
+    (carry-forward seeding makes bucket boundaries invisible), and its
+    window must partition on (user_id, bkt) — the skew fix."""
+    from ai_pdf_ocr_spark.queries import all_queries
+    sf = _skew_events_sf(tmp_path)
+    qs = all_queries()
+    base = sorted(map(tuple, qs["j_events_asof"].fn(spark, sf).collect()))
+    bdf = qs["j_events_asof_bucketed"].fn(spark, sf)
+    bucketed = sorted(map(tuple, bdf.collect()))
+    assert bucketed == base
+    plan = _executed_plan(bdf)
+    assert re.search(r"hashpartitioning\(user_id#\d+L?, bkt#", plan), \
+        plan[:3000]

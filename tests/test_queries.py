@@ -540,3 +540,33 @@ def test_duplicate_spans_planted(spark, tmp_path):
     assert rows[2].n_windows == 2 and rows[2].n_dup_windows == 1
     assert rows[3].n_windows == 2 and rows[3].n_dup_windows == 0
     assert rows[1].dup_frac == 0.25
+
+
+def test_duplicate_spans_within_doc_repeat(spark, tmp_path):
+    """Cross-doc-only semantics (ADVICE r3): a window repeated ONLY
+    within one doc is never flagged; the same window shared with
+    another doc counts every occurrence via SUM(cnt)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ai_pdf_ocr_spark.queries import all_queries
+    run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    texts = {
+        # doc 1 repeats its 8-token run twice, nowhere else -> 0 dup
+        1: run + " filler " + run,
+        # docs 2/3 share a different run -> both flagged
+        2: "x1 india juliet kilo lima mike november oscar papa",
+        3: "india juliet kilo lima mike november oscar papa y9 z8",
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["synth"] * 3, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts.values()], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in all_queries()["dedup_duplicate_spans"]
+            .fn(spark, str(tmp_path)).collect()}
+    assert rows[1].n_dup_windows == 0, \
+        "within-doc-only repetition must not be flagged"
+    assert rows[2].n_dup_windows == 1
+    assert rows[3].n_dup_windows == 1
