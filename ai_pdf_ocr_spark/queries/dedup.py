@@ -234,6 +234,78 @@ def _minhash_banded(items_df, item_col, n_hashes, n_bands, band_cap):
             .where(F.col("bsz") <= band_cap).drop("bsz"))
 
 
+def _minhash_banded_split(items_df, item_col, n_hashes, n_bands,
+                          band_cap, max_levels=3):
+    """(doc_id, item) rows -> (doc_id, band, band_key) membership with
+    over-cap band buckets RECURSIVELY SUB-BANDED instead of dropped
+    (VERDICT r3 ask #6 — remediation (a) of the verified-Jaccard
+    docstring, now implemented).
+
+    Level 0 keys a doc into band b by that band's signature key K_b.
+    A bucket with more than ``band_cap`` members is split by appending
+    the key of band (b + level) % n_bands — members must now ALSO agree
+    on a second (third, ...) band to stay co-bucketed.  Still-over-cap
+    buckets keep descending for ``max_levels`` rounds; the residual is
+    emitted regardless: after 3 splits its members agree on 4 of the
+    bands (8 of 32 signature rows) — near-identical docs whose pairs
+    are overwhelmingly true output, so the quadratic there is
+    output-bound, not wasted work.
+
+    Recall: strictly >= the drop-cap scheme (dropped buckets emitted
+    nothing; sub-banded buckets emit every pair that agrees on the
+    extra bands).  A qualifying pair lost by a split missed only
+    because its sole agreeing band was hot AND it disagreed on the
+    probe bands — the docs-are-near-identical case that the exact-dup
+    pass catches anyway.
+
+    Scale shape: level 1's per-(band, key) count is the same one
+    Exchange the drop-cap window already paid; levels 2+ shuffle ONLY
+    the hot rows (cold rows exit the loop), each row carrying the
+    n_bands-long key array (~8*n_bands bytes).  No driver state, no
+    broadcast of an unbounded hot-key list."""
+    from pyspark.sql import Window
+
+    h = F.pmod(F.xxhash64(item_col), F.lit(_MERSENNE))
+    perms = [(2 * i + 1, 7919 * (i + 1)) for i in range(n_hashes)]
+    aggs = [
+        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)))
+        .alias(f"mh{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    sig = items_df.groupBy("doc_id").agg(*aggs)
+    rows_per_band = n_hashes // n_bands
+    bkeys = F.array(*[
+        F.xxhash64(F.concat_ws("_", *[
+            f"mh{bi * rows_per_band + r}" for r in range(rows_per_band)
+        ]))
+        for bi in range(n_bands)
+    ])
+    keyed = (sig.select("doc_id", bkeys.alias("bkeys"))
+             .select("doc_id", "bkeys",
+                     F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1)))
+                     .alias("band"))
+             .withColumn("band_key",
+                         F.element_at("bkeys", F.col("band") + 1)
+                         .cast("string")))
+    layers = []
+    for lvl in range(1, max_levels + 1):
+        w = Window.partitionBy("band", "band_key")
+        sized = keyed.withColumn("bsz", F.count("*").over(w))
+        layers.append(sized.where(F.col("bsz") <= band_cap)
+                      .select("doc_id", "band", "band_key"))
+        sub = F.element_at(
+            "bkeys", F.pmod(F.col("band") + lvl, F.lit(n_bands)) + 1)
+        keyed = (sized.where(F.col("bsz") > band_cap)
+                 .select("doc_id", "bkeys", "band",
+                         F.concat_ws("|", "band_key", sub.cast("string"))
+                         .alias("band_key")))
+    layers.append(keyed.select("doc_id", "band", "band_key"))
+    out = layers[0]
+    for layer in layers[1:]:
+        out = out.union(layer)
+    return out
+
+
 def _band_pairs(banded):
     """Distinct (d1 < d2) candidate pairs from band-bucket co-members.
     Only (band, band_key, doc_id) rows shuffle; output is bounded by
@@ -289,12 +361,12 @@ def dedup_minhash_lsh(spark, sf_dir):
 # exact bitmask verification of ONLY the candidates.
 V_HASHES = 32
 V_BANDS = 16
-# the verified variant bounds, not drops: its cap only exists to keep a
-# degenerate band key's pair join finite (C(1024,2) ~ 0.5M pairs max per
-# bucket).  The tight cap 64 of the candidate-only operator would gut
-# recall on dense corpora (measured 0.20 at sf0.001 where 20% of ALL
-# pairs are true near-dups); docs dropped by a cap are the exact-dup
-# pass's job either way.
+# the verified variant SPLITS over-cap buckets (recursive sub-banding,
+# _minhash_banded_split) rather than dropping them: the cap is the
+# split trigger that keeps any one bucket's pair join finite
+# (C(1024,2) ~ 0.5M pairs max per sub-bucket).  The tight drop-cap 64
+# of the candidate-only operator would gut recall on dense corpora
+# (measured 0.20 at sf0.001 where 20% of ALL pairs are true near-dups).
 V_BAND_CAP = 1024
 
 
@@ -312,24 +384,25 @@ def dedup_jaccard_verified(spark, sf_dir):
     asserted >= 0.95 in tests/test_queries.py (2-row bands keep
     P(miss at the 0.5 threshold) ~ 1%).
 
-    Known tradeoff (PLANS.md): on the pathologically dense synthetic
-    corpus at sf0.1 (20% of ALL pairs >= 0.5 Jaccard) even V_BAND_CAP
-    buckets overflow and recall drops — not an operator defect but the
-    corpus being LSH-hostile.  At-scale remediations when a real
-    corpus grows boilerplate mega-buckets: (a) recursive sub-banding —
-    re-key an over-cap bucket by extra signature rows, splitting it
-    into bounded sub-buckets at some recall cost; (b) star pairs —
-    emit (min_member, member) edges for an over-cap bucket at O(B)
-    cost when feeding CLUSTER resolution (connectivity preserved
-    without B² pairs); (c) route boilerplate to the exact-dup pass,
-    which is what the cap effectively does today.  The cluster
-    pipeline (dedup_cluster_resolve) builds on the EXACT operator, so
-    its recall is 100% by construction regardless."""
+    Dense-corpus hardening (round 4): over-cap band buckets are now
+    RECURSIVELY SUB-BANDED (``_minhash_banded_split``) instead of
+    dropped — on the LSH-hostile synthetic corpus at sf0.1 (20% of ALL
+    pairs are true near-dups, so V_BAND_CAP buckets genuinely
+    overflow) this measurably recovers recall vs the r3 drop-cap
+    (asserted in tests/test_queries.py::
+    test_subbanding_recovers_recall_on_dense_corpus).  Remaining
+    at-scale alternatives if even sub-banded buckets explode:
+    (b) star pairs — emit (min_member, member) edges at O(B) cost
+    when feeding CLUSTER resolution (connectivity preserved without
+    B² pairs); (c) route boilerplate to the exact-dup pass.  The
+    cluster pipeline (dedup_cluster_resolve) builds on the EXACT
+    operator, so its recall is 100% by construction regardless."""
     d = _spread(load(spark, sf_dir, "documents"))
     tok = d.select("doc_id",
                    F.explode(F.array_distinct(_tokens(F.col("text"))))
                    .alias("tok"))
-    banded = _minhash_banded(tok, "tok", V_HASHES, V_BANDS, V_BAND_CAP)
+    banded = _minhash_banded_split(tok, "tok", V_HASHES, V_BANDS,
+                                   V_BAND_CAP)
     cands = _band_pairs(banded)
     sets = token_sets(d)
     sets = sets.localCheckpoint(eager=False)  # joined on both sides

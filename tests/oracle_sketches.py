@@ -82,26 +82,51 @@ def band_keys(sig: list[int], n_bands: int) -> list[int]:
             for b in range(n_bands)]
 
 
+def _emit_pairs(members, pairs: set) -> None:
+    ms = sorted(members)
+    for i, d1 in enumerate(ms):
+        for d2 in ms[i + 1:]:
+            pairs.add((d1, d2))
+
+
 def lsh_candidate_pairs(doc_items: dict, n_hashes: int, n_bands: int,
-                        band_cap: int | None) -> set[tuple]:
+                        band_cap: int | None,
+                        sub_band_levels: int = 0) -> set[tuple]:
     """doc_items: doc_id -> list of hashed units (shingles or tokens).
-    Returns the distinct (d1 < d2) pairs sharing >=1 uncapped band
-    bucket."""
+    Returns the distinct (d1 < d2) candidate pairs.
+
+    ``sub_band_levels=0``: drop-cap semantics — over-cap band buckets
+    emit nothing (twin of queries/dedup.py::_minhash_banded).
+    ``sub_band_levels=L>0``: recursive sub-banding — at level k an
+    over-cap bucket of band b is split by appending the key of band
+    (b + k) % n_bands; after L levels the residual buckets emit their
+    pairs regardless (twin of _minhash_banded_split)."""
+    keys_of: dict = {}
     buckets: dict[tuple, list] = {}
     for doc_id, items in doc_items.items():
         sig = minhash_signature(items, n_hashes)
         if sig is None:
             continue
-        for b, key in enumerate(band_keys(sig, n_bands)):
-            buckets.setdefault((b, key), []).append(doc_id)
+        ks = band_keys(sig, n_bands)
+        keys_of[doc_id] = ks
+        for b, key in enumerate(ks):
+            buckets.setdefault((b, (key,)), []).append(doc_id)
     pairs: set[tuple] = set()
+    for lvl in range(1, sub_band_levels + 1):
+        nxt: dict[tuple, list] = {}
+        for (b, kt), members in buckets.items():
+            if band_cap is not None and len(members) > band_cap:
+                for d in members:
+                    sub = keys_of[d][(b + lvl) % n_bands]
+                    nxt.setdefault((b, kt + (sub,)), []).append(d)
+            else:
+                _emit_pairs(members, pairs)
+        buckets = nxt
     for members in buckets.values():
-        if band_cap is not None and len(members) > band_cap:
-            continue
-        ms = sorted(members)
-        for i, d1 in enumerate(ms):
-            for d2 in ms[i + 1:]:
-                pairs.add((d1, d2))
+        if (sub_band_levels == 0 and band_cap is not None
+                and len(members) > band_cap):
+            continue  # drop-cap semantics
+        _emit_pairs(members, pairs)
     return pairs
 
 
@@ -113,32 +138,29 @@ def minhash_lsh_pairs(docs: list[tuple], n_hashes: int = 16,
     return sorted(lsh_candidate_pairs(items, n_hashes, n_bands, band_cap))
 
 
-def jaccard_verified_pairs(docs: list[tuple], n_hashes: int = 32,
-                           n_bands: int = 16, band_cap: int | None = 1024,
-                           threshold: float = 0.5) -> list[tuple]:
-    """Token-set MinHash-LSH candidates -> exact Jaccard verify.
-    docs: [(doc_id, lang, text)] -> [(d1, d2, jaccard)].
+def verify_jaccard_pairs(docs: list[tuple], cands: set[tuple],
+                         threshold: float = 0.5) -> list[tuple]:
+    """Exact set-Jaccard verify of explicit candidate (d1 < d2) pairs.
+    docs: [(doc_id, lang, text)] -> [(d1, d2, jaccard)] for same-lang
+    pairs at/above threshold.
 
-    The verify is numpy-vectorized (uint64 token bitmasks + popcount
-    LUT) so the dense sf0.1 corpus (millions of candidate pairs) bakes
-    in seconds; integer intersection/union then float64 division gives
-    bit-identical values to both the loop form and Spark's bit_count
-    expression (tests/test_fixtures.py asserts the loop-vs-vector
+    Numpy-vectorized (uint64 token bitmasks + popcount LUT), chunked
+    over candidate blocks so even an all-pairs ground-truth sweep at
+    sf0.1 stays in bounded memory; the per-pair float math (int
+    intersection/union then one float64 division) is independent of
+    chunking and bit-identical to both the loop form and Spark's
+    expression (tests/test_fixtures.py asserts loop-vs-vector
     equivalence)."""
     import numpy as np
 
+    if not cands:
+        return []
     ids = [d for d, _, _ in docs]
     lang = np.array([lg for _, lg, _ in docs])
     tok_sets = [sorted(set(tokens_py(t))) for _, _, t in docs]
     pos_of = {d: i for i, d in enumerate(ids)}
-
-    cands = lsh_candidate_pairs(
-        {d: ts for d, ts in zip(ids, tok_sets)},
-        n_hashes, n_bands, band_cap)
-    if not cands:
-        return []
-    pi = np.array([pos_of[a] for a, _ in cands], dtype=np.int64)
-    pj = np.array([pos_of[b] for _, b in cands], dtype=np.int64)
+    pi_all = np.array([pos_of[a] for a, _ in cands], dtype=np.int64)
+    pj_all = np.array([pos_of[b] for _, b in cands], dtype=np.int64)
 
     vocab = {t: k for k, t in enumerate(sorted(
         {t for ts in tok_sets for t in ts}))}
@@ -152,16 +174,37 @@ def jaccard_verified_pairs(docs: list[tuple], n_hashes: int = 32,
             masks[i, k >> 6] |= np.uint64(1 << (k & 63))
 
     lut = np.array([bin(b).count("1") for b in range(256)], dtype=np.int64)
-    inter = lut[(masks[pi] & masks[pj]).view(np.uint8)].sum(axis=1)
-    union = sizes[pi] + sizes[pj] - inter
-    with np.errstate(divide="ignore", invalid="ignore"):
-        jac = inter / union
-    keep = (lang[pi] == lang[pj]) & (union > 0) & (jac >= threshold)
     id_arr = np.array(ids)
-    out = [(int(a), int(b), spark_round(float(j)))
-           for a, b, j in zip(id_arr[pi[keep]], id_arr[pj[keep]],
-                              jac[keep])]
+    out = []
+    block = 500_000
+    for s in range(0, len(pi_all), block):
+        pi = pi_all[s:s + block]
+        pj = pj_all[s:s + block]
+        inter = lut[(masks[pi] & masks[pj]).view(np.uint8)].sum(axis=1)
+        union = sizes[pi] + sizes[pj] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = inter / union
+        keep = (lang[pi] == lang[pj]) & (union > 0) & (jac >= threshold)
+        out.extend(
+            (int(a), int(b), spark_round(float(j)))
+            for a, b, j in zip(id_arr[pi[keep]], id_arr[pj[keep]],
+                               jac[keep]))
     return sorted(out)
+
+
+def jaccard_verified_pairs(docs: list[tuple], n_hashes: int = 32,
+                           n_bands: int = 16, band_cap: int | None = 1024,
+                           threshold: float = 0.5,
+                           sub_band_levels: int = 3) -> list[tuple]:
+    """Token-set MinHash-LSH candidates (over-cap buckets recursively
+    sub-banded, twin of _minhash_banded_split) -> exact Jaccard verify.
+    docs: [(doc_id, lang, text)] -> [(d1, d2, jaccard)]."""
+    ids = [d for d, _, _ in docs]
+    tok_sets = [sorted(set(tokens_py(t))) for _, _, t in docs]
+    cands = lsh_candidate_pairs(
+        {d: ts for d, ts in zip(ids, tok_sets)},
+        n_hashes, n_bands, band_cap, sub_band_levels=sub_band_levels)
+    return verify_jaccard_pairs(docs, cands, threshold)
 
 
 # --------------------------------------------------------- SimHash
