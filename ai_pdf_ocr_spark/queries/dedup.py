@@ -235,7 +235,7 @@ def _minhash_banded(items_df, item_col, n_hashes, n_bands, band_cap):
 
 
 def _minhash_banded_split(items_df, item_col, n_hashes, n_bands,
-                          band_cap, max_levels=3):
+                          band_cap, max_levels=3, block_col=None):
     """(doc_id, item) rows -> (doc_id, band, band_key) membership with
     over-cap band buckets RECURSIVELY SUB-BANDED instead of dropped
     (VERDICT r3 ask #6 — remediation (a) of the verified-Jaccard
@@ -258,6 +258,15 @@ def _minhash_banded_split(items_df, item_col, n_hashes, n_bands,
     probe bands — the docs-are-near-identical case that the exact-dup
     pass catches anyway.
 
+    ``block_col``: optional blocking column carried per doc (e.g.
+    lang) prefixed into every bucket key, so cross-block docs NEVER
+    co-bucket.  Measured at sf0.1 (r4): without it, cross-lang
+    boilerplate floods the band buckets — 6.53M candidates at 0.614
+    recall; with lang blocking, 2.58M candidates at **0.914** recall
+    (less work AND better recall, because fewer buckets overflow into
+    recall-losing splits).  This mirrors the exact operator's lang
+    blocking.
+
     Scale shape: level 1's per-(band, key) count is the same one
     Exchange the drop-cap window already paid; levels 2+ shuffle ONLY
     the hot rows (cold rows exit the loop), each row carrying the
@@ -272,7 +281,8 @@ def _minhash_banded_split(items_df, item_col, n_hashes, n_bands,
         .alias(f"mh{i}")
         for i, (a, b) in enumerate(perms)
     ]
-    sig = items_df.groupBy("doc_id").agg(*aggs)
+    gcols = ["doc_id"] + ([block_col] if block_col else [])
+    sig = items_df.groupBy(*gcols).agg(*aggs)
     rows_per_band = n_hashes // n_bands
     bkeys = F.array(*[
         F.xxhash64(F.concat_ws("_", *[
@@ -280,13 +290,14 @@ def _minhash_banded_split(items_df, item_col, n_hashes, n_bands,
         ]))
         for bi in range(n_bands)
     ])
-    keyed = (sig.select("doc_id", bkeys.alias("bkeys"))
-             .select("doc_id", "bkeys",
+    key0 = F.element_at("bkeys", F.col("band") + 1).cast("string")
+    if block_col:
+        key0 = F.concat_ws("|", F.col(block_col), key0)
+    keyed = (sig.select(*gcols, bkeys.alias("bkeys"))
+             .select(*gcols, "bkeys",
                      F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1)))
                      .alias("band"))
-             .withColumn("band_key",
-                         F.element_at("bkeys", F.col("band") + 1)
-                         .cast("string")))
+             .withColumn("band_key", key0))
     layers = []
     for lvl in range(1, max_levels + 1):
         w = Window.partitionBy("band", "band_key")
@@ -398,11 +409,11 @@ def dedup_jaccard_verified(spark, sf_dir):
     cluster pipeline (dedup_cluster_resolve) builds on the EXACT
     operator, so its recall is 100% by construction regardless."""
     d = _spread(load(spark, sf_dir, "documents"))
-    tok = d.select("doc_id",
+    tok = d.select("doc_id", "lang",
                    F.explode(F.array_distinct(_tokens(F.col("text"))))
                    .alias("tok"))
     banded = _minhash_banded_split(tok, "tok", V_HASHES, V_BANDS,
-                                   V_BAND_CAP)
+                                   V_BAND_CAP, block_col="lang")
     cands = _band_pairs(banded)
     sets = token_sets(d)
     sets = sets.localCheckpoint(eager=False)  # joined on both sides

@@ -209,9 +209,10 @@ def main() -> None:
                     "computes every column, output-volume-decoupled — "
                     "r4 change per VERDICT r3 #2; r4 also RENAMED "
                     "w_lag_gap_sessions into suite_event_probes and "
-                    "dedup_jaccard_verified gained sub-banding recall "
-                    "0.215->0.614 at sf0.1, i.e. ~2.2x more verify "
-                    "work by design; r1 used collect(), r2 count())",
+                    "dedup_jaccard_verified gained lang-blocked "
+                    "sub-banding: recall 0.215->0.914 at sf0.1 on "
+                    "2.58M candidates vs r3's 2.96M — comparable "
+                    "verify work; r1 used collect(), r2 count())",
         "sf": sf,
         "cpus": CPUS,
         "extraction": {"n_docs": n_docs, **ext_stats},

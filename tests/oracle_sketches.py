@@ -196,14 +196,22 @@ def jaccard_verified_pairs(docs: list[tuple], n_hashes: int = 32,
                            n_bands: int = 16, band_cap: int | None = 1024,
                            threshold: float = 0.5,
                            sub_band_levels: int = 3) -> list[tuple]:
-    """Token-set MinHash-LSH candidates (over-cap buckets recursively
-    sub-banded, twin of _minhash_banded_split) -> exact Jaccard verify.
-    docs: [(doc_id, lang, text)] -> [(d1, d2, jaccard)]."""
-    ids = [d for d, _, _ in docs]
-    tok_sets = [sorted(set(tokens_py(t))) for _, _, t in docs]
-    cands = lsh_candidate_pairs(
-        {d: ts for d, ts in zip(ids, tok_sets)},
-        n_hashes, n_bands, band_cap, sub_band_levels=sub_band_levels)
+    """LANG-BLOCKED token-set MinHash-LSH candidates (over-cap buckets
+    recursively sub-banded) -> exact Jaccard verify.  Twin of
+    _minhash_banded_split(block_col='lang'): prefixing every bucket key
+    with the block value is equivalent to bucketing each lang's docs
+    independently (signatures are per-doc), which is how this twin
+    computes it.  docs: [(doc_id, lang, text)] -> [(d1, d2, jaccard)].
+    """
+    tok_of = {d: sorted(set(tokens_py(t))) for d, _, t in docs}
+    by_lang: dict = {}
+    for d, lg, _ in docs:
+        by_lang.setdefault(lg, []).append(d)
+    cands: set[tuple] = set()
+    for members in by_lang.values():
+        cands |= lsh_candidate_pairs(
+            {d: tok_of[d] for d in members},
+            n_hashes, n_bands, band_cap, sub_band_levels=sub_band_levels)
     return verify_jaccard_pairs(docs, cands, threshold)
 
 
