@@ -261,7 +261,11 @@ def release_pipeline(spark, sf_dir):
             .select("doc_id", "lang", split.alias("split"),
                     ((F.col("n_chars") >= 100) & (stop_ratio >= 0.05))
                     .alias("_q"))
-            .join(clusters, "doc_id"))
+            .join(clusters, "doc_id")
+            # reps below derives from base and joins back: materialize
+            # once (lazy) or the stop-ratio tokenize + cluster join run
+            # on BOTH sides (the CLAUDE.md self-join recompute trap)
+            .localCheckpoint(eager=False))
     # one representative per near-dup cluster AMONG the gated
     # survivors (gates run first: a cluster whose min-id keeper fell
     # to the quality gate or the eval-id exclusion must still release
