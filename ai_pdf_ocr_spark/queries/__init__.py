@@ -164,6 +164,8 @@ ORDER = [
     "dedup_embedding_cosine",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
+    # new in round 4 (fills the last gate-window slot: 50 rows)
+    "ann_pq_topk",
 ]
 
 

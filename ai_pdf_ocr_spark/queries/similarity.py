@@ -400,3 +400,130 @@ def ann_ivf_topk(spark, sf_dir):
     return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", "vec_id", "label", "list_id",
                     F.round("_c", 4).alias("cosine")))
+
+
+# ------------------------------------------------------------ PQ ANN
+
+PQ_M = 8              # subspaces (64-dim embedding -> 8 x 8-dim)
+PQ_SUB = 8            # dims per subspace
+PQ_K = 16             # codes per subspace codebook
+PQ_ITERS = 2          # Lloyd passes per subspace (fixed, deterministic)
+
+
+def _kmeans_py(sample, k, iters):
+    """Deterministic Lloyd k-means (init = first k sample vectors,
+    empty cluster keeps its centroid, means summed in member order) —
+    the same sequential-float64 discipline as ``_ivf_train`` so the
+    fixture twin reproduces every intermediate."""
+    cens = [list(e) for e in sample[:k]]
+    for _ in range(iters):
+        members = [[] for _ in cens]
+        for e in sample:
+            members[_ivf_assign_py(e, cens)].append(e)
+        for cid, mem in enumerate(members):
+            if mem:
+                n = len(mem)
+                cens[cid] = [sum(m[i] for m in mem) / n
+                             for i in range(len(cens[cid]))]
+    return cens
+
+
+def _pq_train(sample):
+    """Per-subspace codebooks: k-means over each 8-dim slice of the
+    (bounded, ordered) training sample."""
+    return [
+        _kmeans_py([e[m * PQ_SUB:(m + 1) * PQ_SUB] for e in sample],
+                   PQ_K, PQ_ITERS)
+        for m in range(PQ_M)
+    ]
+
+
+@register("ann_pq_topk", sql=fixture_sql("ann_pq_topk"))
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al., TPAMI 2011) — the
+    memory-bound scale path neither LSH buckets nor IVF lists give: the
+    corpus is stored as M=8 one-byte codes per vector (32x smaller than
+    the float32 embedding), and a query scans CODES against a per-query
+    asymmetric-distance (ADC) lookup table without ever touching the
+    original vectors.  At 10^12 documents the embedding column does not
+    fit hot storage; the PQ code column does.
+
+    Stages, and their 10^9-vector shape:
+      1. TRAIN (driver, bounded): per-subspace deterministic k-means on
+         the same stride-sampled <=IVF_SAMPLE_CAP rows the IVF trainer
+         uses — codebooks are 8 x 16 x 8 doubles, trivially broadcast.
+      2. ENCODE (distributed, ZERO shuffle): one broadcast row carries
+         array<array<struct<cid,cen>>>; each subspace's distances are
+         materialized as a column FIRST (the HOF re-evaluation trap,
+         CLAUDE.md) then folded to an argmin code.  A production
+         ingest persists these codes next to the corpus once.
+      3. ADC SEARCH: the query's 8x16 partial-distance table is
+         computed driver-side, broadcast, and each row's approximate
+         distance is 8 element_at lookups summed — no per-row float
+         vector math at all; top-k via orderBy().limit() ->
+         TakeOrderedAndProject.
+
+    Approximation contract: returns the top-k by QUANTIZED distance
+    (the standard ADC guarantee); recall vs exact L2 is asserted in
+    tests/test_queries.py.  Oracle: fixture via the pure-Python twin
+    (tests/oracle_sketches.py::pq_topk_rows — bit-identical folds)."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+
+    sample = [list(r.emb) for r in
+              (e.where(F.pmod("vec_id", F.lit(IVF_SAMPLE_STRIDE)) == 1)
+               .orderBy("vec_id").limit(IVF_SAMPLE_CAP)
+               .select(emb.alias("emb")).collect())]
+    cbs = _pq_train(sample)
+    q_emb = list(e.where(F.col("vec_id") == 0)
+                 .select(emb.alias("emb")).first().emb)
+    # per-query ADC table: adc[m][c] = ||q_sub_m - cen||^2, driver-side
+    adc = [[_l2_sq(q_emb[m * PQ_SUB:(m + 1) * PQ_SUB], cen)
+            for cen in cbs[m]]
+           for m in range(PQ_M)]
+
+    cb_row = spark.createDataFrame(
+        [(([list(enumerate(cb)) for cb in cbs]), adc)],
+        "cbs array<array<struct<cid:int,cen:array<double>>>>, "
+        "adc array<array<double>>")
+
+    base = (e.where(F.col("vec_id") != 0)
+            .withColumn("emb", emb)
+            .crossJoin(F.broadcast(cb_row)))
+    # encode: materialize each subspace's (d, cid) array, then argmin
+    # (a 2-arg HOF lambda would receive the ELEMENT INDEX as its second
+    # argument — bind the subspace column via closure, not a default)
+    def _dists_over(cb_col, sub_col):
+        return F.transform(
+            cb_col,
+            lambda c: F.struct(
+                F.aggregate(F.zip_with(sub_col, c["cen"],
+                                       lambda x, y: (x - y) * (x - y)),
+                            F.lit(0.0), lambda a, v: a + v).alias("d"),
+                c["cid"].alias("cid")))
+
+    for m in range(PQ_M):
+        sub = F.slice("emb", m * PQ_SUB + 1, PQ_SUB)
+        base = base.withColumn(f"_sub{m}", sub)
+        base = base.withColumn(
+            f"_dc{m}", _dists_over(F.element_at("cbs", m + 1),
+                                   F.col(f"_sub{m}")))
+        argmin = F.aggregate(
+            F.col(f"_dc{m}"),
+            F.struct(F.lit(float("inf")).alias("d"),
+                     F.lit(-1).alias("cid")),
+            lambda acc, p: F.when(p["d"] < acc["d"], p).otherwise(acc))
+        base = base.withColumn(f"_code{m}", argmin["cid"])
+    # ADC distance: left-assoc sum of the 8 table lookups (the twin
+    # adds in the same order)
+    dist = F.element_at(F.element_at("adc", 1), F.col("_code0") + 1)
+    for m in range(1, PQ_M):
+        dist = dist + F.element_at(F.element_at("adc", m + 1),
+                                   F.col(f"_code{m}") + 1)
+    top = (base.select("vec_id", "label", dist.alias("_d"))
+           .orderBy("_d", "vec_id").limit(10))
+    from pyspark.sql import Window
+    w = Window.orderBy("_d", "vec_id")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "vec_id", "label",
+                    F.round("_d", 4).alias("adc_d2")))

@@ -46,6 +46,7 @@ HEADLINE = [
     "j_events_asof_bucketed",    # r4: skew-hardened as-of join
     "w_tumbling_event_metrics",  # r4: streaming window batch twin
     "w_session_window_agg",      # r4: session_window batch twin
+    "ann_pq_topk",               # r4: product-quantization ADC ANN
 ]
 
 # Megarow pair queries: timed via a CHECKSUM AGGREGATE (count +

@@ -202,9 +202,17 @@ def ann():
     ev = {k: [] for k in ("_corpus", "v1", "v2", "hamming", "cosine")}
     ivf = {k: [] for k in ("_corpus", "rank", "vec_id", "label",
                            "list_id", "cosine")}
+    pq = {k: [] for k in ("_corpus", "rank", "vec_id", "label",
+                          "adc_d2")}
     for sf in SKETCH_SFS:
         m = marker(sf)
         vecs = emb_table(sf)
+        for rank, v, lab, d in OS.pq_topk_rows(vecs):
+            pq["_corpus"].append(m)
+            pq["rank"].append(rank)
+            pq["vec_id"].append(v)
+            pq["label"].append(lab)
+            pq["adc_d2"].append(d)
         for rank, v, lab, cid, c in OS.ivf_topk_rows(vecs):
             ivf["_corpus"].append(m)
             ivf["rank"].append(rank)
@@ -246,6 +254,10 @@ def ann():
            {"_corpus": pa.int64(), "rank": pa.int32(),
             "vec_id": pa.int64(), "label": pa.int32(),
             "list_id": pa.int32(), "cosine": pa.float64()})
+    _write("ann_pq_topk", pq,
+           {"_corpus": pa.int64(), "rank": pa.int32(),
+            "vec_id": pa.int64(), "label": pa.int32(),
+            "adc_d2": pa.float64()})
 
 
 # ------------------------------------------------- checksum manifest

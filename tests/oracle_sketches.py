@@ -475,3 +475,54 @@ def ivf_topk_rows(vectors: list[tuple], k: int = 10) -> list[tuple]:
     cands.sort(key=lambda m: (-m[3], m[0]))
     return [(rank, v, lab, cid, spark_round(c))
             for rank, (v, lab, cid, c) in enumerate(cands[:k], start=1)]
+
+
+# ------------------------------------------------------------- PQ ANN
+
+PQ_M, PQ_SUB, PQ_K, PQ_ITERS = 8, 8, 16, 2
+
+
+def _kmeans(sample, k, iters):
+    """Twin of queries/similarity.py::_kmeans_py (identical float
+    sequence: init = first k, Lloyd, empty keeps centroid)."""
+    cens = [list(e) for e in sample[:k]]
+    for _ in range(iters):
+        members = [[] for _ in cens]
+        for e in sample:
+            members[_ivf_assign(e, cens)].append(e)
+        for cid, mem in enumerate(members):
+            if mem:
+                n = len(mem)
+                cens[cid] = [sum(m[i] for m in mem) / n
+                             for i in range(len(cens[cid]))]
+    return cens
+
+
+def pq_topk_rows(vectors: list[tuple], k: int = 10) -> list[tuple]:
+    """Twin of queries/similarity.py::ann_pq_topk: per-subspace
+    codebooks trained on the stride sample, every vector encoded to
+    8 argmin codes, query ADC table lookup summed left-associatively
+    (matching the Spark expression chain) -> (rank, vec_id, label,
+    adc_d2).  ``vectors`` sorted by vec_id."""
+    sample = [e for v, e, _ in vectors
+              if v % IVF_SAMPLE_STRIDE == 1][:IVF_SAMPLE_CAP]
+    cbs = [_kmeans([e[m * PQ_SUB:(m + 1) * PQ_SUB] for e in sample],
+                   PQ_K, PQ_ITERS)
+           for m in range(PQ_M)]
+    q = next(e for v, e, _ in vectors if v == 0)
+    adc = [[_l2_py(q[m * PQ_SUB:(m + 1) * PQ_SUB], cen)
+            for cen in cbs[m]]
+           for m in range(PQ_M)]
+    cands = []
+    for v, e, lab in vectors:
+        if v == 0:
+            continue
+        dist = None
+        for m in range(PQ_M):
+            code = _ivf_assign(e[m * PQ_SUB:(m + 1) * PQ_SUB], cbs[m])
+            t = adc[m][code]
+            dist = t if dist is None else dist + t
+        cands.append((v, lab, dist))
+    cands.sort(key=lambda c: (c[2], c[0]))
+    return [(rank, v, lab, spark_round(d))
+            for rank, (v, lab, d) in enumerate(cands[:k], start=1)]

@@ -74,6 +74,8 @@ def test_ann_fixtures_fresh(sf):
         sorted(OS.ann_multiprobe_rows(vecs))
     assert sorted(_slice("dedup_embedding_verified", m)) == \
         OS.embedding_verified_pairs(vecs)
+    assert sorted(_slice("ann_pq_topk", m)) == \
+        sorted(OS.pq_topk_rows(vecs))
 
 
 def test_manifest_fresh():

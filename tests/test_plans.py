@@ -198,3 +198,14 @@ def test_asof_bucketed_equals_base_on_skewed_user(spark, tmp_path):
     plan = _executed_plan(bdf)
     assert re.search(r"hashpartitioning\(user_id#\d+L?, bkt#", plan), \
         plan[:3000]
+
+
+def test_pq_encode_no_shuffle(spark):
+    """ann_pq_topk's executed plan: codebooks + ADC table ride ONE
+    broadcast row; encode (8 argmin folds) and the ADC sum are pure
+    per-row projections — no hash Exchange anywhere, top-k is
+    TakeOrderedAndProject (same zero-shuffle contract as IVF)."""
+    from ai_pdf_ocr_spark.queries import all_queries
+    plan = _executed_plan(all_queries()["ann_pq_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
