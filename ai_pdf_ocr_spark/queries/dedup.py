@@ -195,20 +195,14 @@ BAND_CAP = 64  # degenerate band-bucket guard: > CAP members -> dropped
 _MERSENNE = (1 << 31) - 1
 
 
-def _minhash_banded(items_df, item_col, n_hashes, n_bands, band_cap):
-    """(doc_id, item) rows -> (doc_id, band, band_key) membership with
-    oversized band buckets dropped.
-
-    item -> xxhash64 -> affine permutations mod a Mersenne prime ->
-    per-doc min (algebraic, map-side combinable) -> band keys via ONE
-    explode over the signature row (a union of per-band selects
-    re-executed the item aggregation once per band: 10 exchanges vs 5
-    measured in round 1).  The band-size cap bounds the downstream pair
-    join: a degenerate key (e.g. an all-identical corpus) would
-    otherwise go quadratic — capped buckets are dropped, mirrored
-    bit-for-bit by the pure-Python oracle (tests/oracle_sketches.py)."""
-    from pyspark.sql import Window
-
+def _minhash_sig(items_df, item_col, n_hashes, group_cols=("doc_id",)):
+    """Per-group MinHash signature columns mh0..mh{n-1}: item ->
+    xxhash64 -> affine permutations mod a Mersenne prime -> algebraic
+    per-group min (map-side combinable).  The ONE implementation both
+    banding variants key from — the permutation constants and fold
+    must stay bit-identical to tests/oracle_sketches.py::
+    minhash_signature (code-review r4: two hand-maintained copies of
+    this block were a silent-divergence hazard for the fixtures)."""
     h = F.pmod(F.xxhash64(item_col), F.lit(_MERSENNE))
     perms = [(2 * i + 1, 7919 * (i + 1)) for i in range(n_hashes)]
     aggs = [
@@ -216,15 +210,38 @@ def _minhash_banded(items_df, item_col, n_hashes, n_bands, band_cap):
         .alias(f"mh{i}")
         for i, (a, b) in enumerate(perms)
     ]
-    sig = items_df.groupBy("doc_id").agg(*aggs)
+    return items_df.groupBy(*group_cols).agg(*aggs)
+
+
+def _band_key_exprs(n_hashes, n_bands):
+    """One xxhash64 key expression per band over the mh* signature
+    columns (twin: tests/oracle_sketches.py::band_keys)."""
     rows_per_band = n_hashes // n_bands
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.xxhash64(F.concat_ws("_", *[
-                f"mh{bi * rows_per_band + r}" for r in range(rows_per_band)
-            ])).alias("band_key"))
+    return [
+        F.xxhash64(F.concat_ws("_", *[
+            f"mh{bi * rows_per_band + r}" for r in range(rows_per_band)
+        ]))
         for bi in range(n_bands)
+    ]
+
+
+def _minhash_banded(items_df, item_col, n_hashes, n_bands, band_cap):
+    """(doc_id, item) rows -> (doc_id, band, band_key) membership with
+    oversized band buckets dropped.
+
+    Band keys via ONE explode over the signature row (a union of
+    per-band selects re-executed the item aggregation once per band:
+    10 exchanges vs 5 measured in round 1).  The band-size cap bounds
+    the downstream pair join: a degenerate key (e.g. an all-identical
+    corpus) would otherwise go quadratic — capped buckets are dropped,
+    mirrored bit-for-bit by the pure-Python oracle
+    (tests/oracle_sketches.py)."""
+    from pyspark.sql import Window
+
+    sig = _minhash_sig(items_df, item_col, n_hashes)
+    band_structs = F.array(*[
+        F.struct(F.lit(bi).alias("band"), k.alias("band_key"))
+        for bi, k in enumerate(_band_key_exprs(n_hashes, n_bands))
     ])
     banded = (sig.select("doc_id", F.explode(band_structs).alias("bk"))
               .select("doc_id", F.col("bk.band").alias("band"),
@@ -274,22 +291,9 @@ def _minhash_banded_split(items_df, item_col, n_hashes, n_bands,
     broadcast of an unbounded hot-key list."""
     from pyspark.sql import Window
 
-    h = F.pmod(F.xxhash64(item_col), F.lit(_MERSENNE))
-    perms = [(2 * i + 1, 7919 * (i + 1)) for i in range(n_hashes)]
-    aggs = [
-        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)))
-        .alias(f"mh{i}")
-        for i, (a, b) in enumerate(perms)
-    ]
     gcols = ["doc_id"] + ([block_col] if block_col else [])
-    sig = items_df.groupBy(*gcols).agg(*aggs)
-    rows_per_band = n_hashes // n_bands
-    bkeys = F.array(*[
-        F.xxhash64(F.concat_ws("_", *[
-            f"mh{bi * rows_per_band + r}" for r in range(rows_per_band)
-        ]))
-        for bi in range(n_bands)
-    ])
+    sig = _minhash_sig(items_df, item_col, n_hashes, group_cols=gcols)
+    bkeys = F.array(*_band_key_exprs(n_hashes, n_bands))
     key0 = F.element_at("bkeys", F.col("band") + 1).cast("string")
     if block_col:
         key0 = F.concat_ws("|", F.col(block_col), key0)

@@ -306,18 +306,11 @@ def _ivf_train(sample):
     """Deterministic k-means on the (bounded, ordered) training sample
     — plain sequential float64 ops so the fixture twin reproduces every
     intermediate.  init = first K sample vectors; an emptied list keeps
-    its previous centroid (standard IVF trainer behavior)."""
-    cens = [list(e) for e in sample[:IVF_K]]
-    for _ in range(IVF_ITERS):
-        members = [[] for _ in cens]
-        for e in sample:
-            members[_ivf_assign_py(e, cens)].append(e)
-        for cid, mem in enumerate(members):
-            if mem:
-                n = len(mem)
-                cens[cid] = [sum(m[i] for m in mem) / n
-                             for i in range(len(cens[cid]))]
-    return cens
+    its previous centroid (standard IVF trainer behavior).  Delegates
+    to the ONE Lloyd loop shared with the PQ trainer (code-review r4:
+    duplicated bit-exactness-sensitive loops were a silent-divergence
+    hazard)."""
+    return _kmeans_py(sample, IVF_K, IVF_ITERS)
 
 
 @register("ann_ivf_topk", sql=fixture_sql("ann_ivf_topk"))

@@ -455,16 +455,7 @@ def ivf_topk_rows(vectors: list[tuple], k: int = 10) -> list[tuple]:
     order, matching the Spark-side folds bit-for-bit."""
     sample = [e for v, e, _ in vectors
               if v % IVF_SAMPLE_STRIDE == 1][:IVF_SAMPLE_CAP]
-    cens = [list(e) for e in sample[:IVF_K]]
-    for _ in range(IVF_ITERS):
-        members = [[] for _ in cens]
-        for e in sample:
-            members[_ivf_assign(e, cens)].append(e)
-        for cid, mem in enumerate(members):
-            if mem:
-                n = len(mem)
-                cens[cid] = [sum(m[i] for m in mem) / n
-                             for i in range(len(cens[cid]))]
+    cens = _kmeans(sample, IVF_K, IVF_ITERS)
     q = next(e for v, e, _ in vectors if v == 0)
     probed = {cid for _, cid in
               sorted((_l2_py(q, c), cid)
