@@ -72,13 +72,15 @@ def _suite(name: str, doc: str, probes: list[tuple[str, dict[str, str]]]):
 
 # Import for the @micro side effects (populates MICRO).
 from . import relational  # noqa: E402,F401  isort:skip
+from . import text_analysis  # noqa: E402,F401  isort:skip
 
 
 suite_doc_probes = _suite(
     "suite_doc_probes",
     """Documents-table probe suite (P4 empty-text filter, P6 CJK
     predicate, P7 font select, A1 ordered concat, A7 argmax, F2
-    substring preview, F10 checkpoint-name format).""",
+    substring preview, F10 checkpoint-name format, corpus-LM
+    pseudo-perplexity quality score).""",
     [
         ("p4_nonempty_filter",
          {"key": "lang", "n": "n_docs", "m": "total_chars"}),
@@ -94,6 +96,9 @@ suite_doc_probes = _suite(
          {"key": "CAST(doc_id AS STRING) || '|' || lang", "s": "preview"}),
         ("f10_name_format",
          {"key": "CAST(doc_id AS STRING)", "s": "ckpt_name"}),
+        ("text_lm_perplexity",
+         {"key": "CAST(doc_id AS STRING) || '|' || lang",
+          "n": "n_bigrams", "r1": "ppl"}),
     ])
 
 

@@ -8,7 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import load, register
+from . import load, micro, register
+from .dedup import _spread, _tokens
 from .relational import CJK_RE_DUCK, CJK_RE_SPARK
 
 _PUNCT_SPARK = "[.,;:!?]"
@@ -272,3 +273,70 @@ def text_tfidf_top_terms(spark, sf_dir):
             .where(F.col("rank") <= _TFIDF_K)
             .select("doc_id", "term", "tf", "df", "rank",
                     F.round("score", 4).alias("score")))
+
+
+# ------------------------------------------- corpus-LM perplexity
+
+_LM_PPL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)),
+                                        '[ \t\n\x0B\f\r]+'),
+                     t -> LENGTH(t) > 0) AS ts
+  FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         UNNEST(ts[1:LENGTH(ts) - 1]) AS w1,
+         UNNEST(ts[2:LENGTH(ts)]) AS w2
+  FROM toks WHERE LENGTH(ts) >= 2),
+c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1)
+SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(EXP(-AVG(LN(CAST(n2 AS DOUBLE) / n1))), 4) AS ppl
+FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id, lang
+"""
+
+
+@micro("text_lm_perplexity", sql=_LM_PPL_SQL)
+def text_lm_perplexity(spark, sf_dir):
+    """Corpus-LM pseudo-perplexity per document — the CCNet-style
+    quality signal (Wenzek et al., LREC 2020): score each doc under a
+    bigram LM trained on the corpus itself; outlier-high perplexity
+    flags boilerplate/garbled text, outlier-low flags templated
+    repetition.  p(w2|w1) = c(w1,w2)/c(w1) needs no smoothing because
+    every scored bigram is in the training counts (the corpus includes
+    the doc); ppl = exp(-avg ln p) over the doc's bigram instances.
+
+    Scale shape: one bigram explode (map-side combinable counts on
+    uniform token keys), count tables joined back on (w1, w2)/(w1)
+    (broadcast at this SF, SMJ on uniform keys at scale — the c1/c2
+    sides are unique per key so hot stopword histories do not fan
+    out), then a per-doc agg.  The exploded pair table is checkpointed
+    lazily: both count tables derive from it AND join back to it (the
+    self-join recompute trap, CLAUDE.md).  At 100 TB the count tables
+    are exactly the corpus bigram/unigram tables a KenLM-style filter
+    ships — here they stay inside one query.
+
+    Gated through suite_doc_probes (key = doc_id|lang, n = n_bigrams,
+    r1 = ppl)."""
+    d = _spread(load(spark, sf_dir, "documents"))
+    base = (d.select("doc_id", "lang", _tokens(F.col("text")).alias("ts"))
+            .withColumn("n_tok", F.size("ts")))
+    # ts is a materialized column -> the HOF lambda references a leaf
+    # (no per-element re-evaluation, CLAUDE.md HOF trap)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.col("n_tok") - 2),
+        lambda i: F.struct(F.element_at("ts", i + 1).alias("w1"),
+                           F.element_at("ts", i + 2).alias("w2")))
+    pairs = (base.where(F.col("n_tok") >= 2)
+             .select("doc_id", "lang", F.explode(bigrams).alias("b"))
+             .select("doc_id", "lang", "b.w1", "b.w2")
+             .localCheckpoint(eager=False))  # counts derive + join back
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = pairs.groupBy("w1").agg(F.count("*").alias("n1"))
+    lp = F.log(F.col("n2").cast("double") / F.col("n1"))
+    return (pairs.join(c2, ["w1", "w2"]).join(c1, ["w1"])
+            .groupBy("doc_id", "lang")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.exp(-F.avg(lp)), 4).alias("ppl")))

@@ -601,3 +601,39 @@ def test_pq_separates_planted_neighbors(spark, tmp_path):
     assert len(out) == 10
     non_planted = [r.vec_id for r in out if not 1 <= r.vec_id <= 20]
     assert non_planted == [], f"background leaked into ADC top-10: {out}"
+
+
+def test_lm_perplexity_separates_templated_from_shuffled(spark, tmp_path):
+    """Semantic pin for text_lm_perplexity (suite_doc_probes member):
+    docs built from the corpus's dominant bigram patterns must score
+    LOWER pseudo-perplexity than a doc whose bigrams are each unique
+    in the corpus.  (Exactness vs DuckDB is the suite's gate row; this
+    pins that the score means what the docstring claims.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_pdf_ocr_spark.queries.text_analysis import text_lm_perplexity
+
+    common = "the cat sat on the mat " * 40           # one repeated pattern
+    texts = [common] * 10                             # templated majority
+    # SAME vocabulary, reversed order: common histories ("the", "cat",
+    # ...) now precede continuations the LM rarely saw -> low p per
+    # bigram -> high ppl.  (A doc of corpus-UNIQUE bigrams would score
+    # ppl = 1.0 — unique histories predict their unique continuation
+    # perfectly under self-inclusive counts — so rarity must be in the
+    # CONTINUATION, not the history.)
+    odd = " ".join(reversed(common.split()))
+    texts.append(odd)
+    pq.write_table(pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts),
+         "lang": pa.array(["en"] * len(texts)),
+         "source": pa.array(["synth"] * len(texts)),
+         "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r.ppl
+            for r in text_lm_perplexity(spark, str(tmp_path)).collect()}
+    templated, odd_ppl = rows[0], rows[10]
+    assert templated < odd_ppl / 3, (templated, odd_ppl)
+    # templated docs all share the same score (same bigram stream)
+    assert len({rows[i] for i in range(10)}) == 1
