@@ -80,7 +80,7 @@ suite_doc_probes = _suite(
     """Documents-table probe suite (P4 empty-text filter, P6 CJK
     predicate, P7 font select, A1 ordered concat, A7 argmax, F2
     substring preview, F10 checkpoint-name format, corpus-LM
-    pseudo-perplexity quality score).""",
+    pseudo-perplexity quality score, token Shannon entropy).""",
     [
         ("p4_nonempty_filter",
          {"key": "lang", "n": "n_docs", "m": "total_chars"}),
@@ -99,6 +99,9 @@ suite_doc_probes = _suite(
         ("text_lm_perplexity",
          {"key": "CAST(doc_id AS STRING) || '|' || lang",
           "n": "n_bigrams", "r1": "ppl"}),
+        ("text_token_entropy",
+         {"key": "CAST(doc_id AS STRING) || '|' || lang",
+          "n": "n_tokens", "r1": "entropy"}),
     ])
 
 

@@ -340,3 +340,50 @@ def text_lm_perplexity(spark, sf_dir):
             .groupBy("doc_id", "lang")
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(F.exp(-F.avg(lp)), 4).alias("ppl")))
+
+
+@micro("text_token_entropy", sql=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)),
+                                               '[ \t\n\x0B\f\r]+'),
+                            t -> LENGTH(t) > 0)) AS tok
+  FROM documents),
+cnts AS (
+  SELECT doc_id, lang, tok, COUNT(*) AS c
+  FROM toks GROUP BY doc_id, lang, tok),
+tot AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+  FROM cnts GROUP BY doc_id)
+SELECT c.doc_id, c.lang, t.n AS n_tokens,
+       ROUND(-SUM((CAST(c.c AS DOUBLE) / t.n)
+                  * LN(CAST(c.c AS DOUBLE) / t.n)), 4) AS entropy
+FROM cnts c JOIN tot t ON t.doc_id = c.doc_id
+GROUP BY c.doc_id, c.lang, t.n
+""")
+def text_token_entropy(spark, sf_dir):
+    """Per-document token Shannon entropy (nats) — the vocabulary-
+    diversity curation signal: templated/repetitive docs concentrate
+    probability mass on few tokens (low entropy), organic prose
+    spreads it (entropy ~ ln of effective vocabulary).  Complements
+    the repetition stats (duplicate fractions catch exact repeats;
+    entropy catches skewed-but-not-duplicated distributions).
+
+    Scale shape: explode -> map-side-combinable (doc_id, tok) counts
+    -> two per-doc aggs, all uniform per-doc keys, no joins against
+    the corpus.  Gated through suite_doc_probes (key = doc_id|lang,
+    n = n_tokens, r1 = entropy)."""
+    d = _spread(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", "lang",
+                    F.explode(_tokens(F.col("text"))).alias("tok"))
+    cnts = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count("*").alias("c"))
+    # n per doc reuses the (doc_id, ...) hash partitioning; window over
+    # doc_id instead of a second agg+join keeps it one Exchange
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id")
+    p = F.col("c").cast("double") / F.col("n")
+    return (cnts.withColumn("n", F.sum("c").over(w))
+            .groupBy("doc_id", "lang", F.col("n").alias("n_tokens"))
+            .agg(F.round(-F.sum(p * F.log(p)), 4).alias("entropy"))
+            .select("doc_id", "lang", "n_tokens", "entropy"))

@@ -637,3 +637,31 @@ def test_lm_perplexity_separates_templated_from_shuffled(spark, tmp_path):
     assert templated < odd_ppl / 3, (templated, odd_ppl)
     # templated docs all share the same score (same bigram stream)
     assert len({rows[i] for i in range(10)}) == 1
+
+
+def test_token_entropy_orders_repetitive_below_diverse(spark, tmp_path):
+    """Semantic pin for text_token_entropy (suite_doc_probes member):
+    a one-token doc scores 0, a templated doc scores ~ln(distinct
+    pattern tokens), a fully-diverse doc scores ln(n_tokens)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_pdf_ocr_spark.queries.text_analysis import text_token_entropy
+
+    texts = ["spam " * 100,                              # 0 nats
+             "the cat sat on the mat " * 40,             # ~ln(5.8)
+             " ".join(f"w{i}" for i in range(240))]      # ln(240)
+    pq.write_table(pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts),
+         "lang": pa.array(["en"] * len(texts)),
+         "source": pa.array(["synth"] * len(texts)),
+         "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: (r.n_tokens, r.entropy)
+            for r in text_token_entropy(spark, str(tmp_path)).collect()}
+    assert rows[0][1] == 0.0
+    assert rows[0][1] < rows[1][1] < rows[2][1]
+    assert abs(rows[2][1] - round(math.log(240), 4)) < 1e-9
