@@ -356,8 +356,11 @@ tot AS (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
   FROM cnts GROUP BY doc_id)
 SELECT c.doc_id, c.lang, t.n AS n_tokens,
+       -- + 0.0 normalizes IEEE -0.0 (an all-identical-token doc makes
+       -- -SUM(0.0) = -0.0 here, while Spark's round() emits +0.0 via
+       -- BigDecimal — the driver's value-hash compare is EXACT)
        ROUND(-SUM((CAST(c.c AS DOUBLE) / t.n)
-                  * LN(CAST(c.c AS DOUBLE) / t.n)), 4) AS entropy
+                  * LN(CAST(c.c AS DOUBLE) / t.n)), 4) + 0.0 AS entropy
 FROM cnts c JOIN tot t ON t.doc_id = c.doc_id
 GROUP BY c.doc_id, c.lang, t.n
 """)
@@ -385,5 +388,8 @@ def text_token_entropy(spark, sf_dir):
     p = F.col("c").cast("double") / F.col("n")
     return (cnts.withColumn("n", F.sum("c").over(w))
             .groupBy("doc_id", "lang", F.col("n").alias("n_tokens"))
-            .agg(F.round(-F.sum(p * F.log(p)), 4).alias("entropy"))
+            # + 0.0 mirrors the oracle's -0.0 normalization (exact
+            # no-op for every other value)
+            .agg((F.round(-F.sum(p * F.log(p)), 4) + F.lit(0.0))
+                 .alias("entropy"))
             .select("doc_id", "lang", "n_tokens", "entropy"))

@@ -665,3 +665,15 @@ def test_token_entropy_orders_repetitive_below_diverse(spark, tmp_path):
     assert rows[0][1] == 0.0
     assert rows[0][1] < rows[1][1] < rows[2][1]
     assert abs(rows[2][1] - round(math.log(240), 4)) < 1e-9
+    # EXACT sign pin on both engines for the all-identical-token doc:
+    # DuckDB's -SUM(0.0) is IEEE -0.0 while Spark's round() emits
+    # +0.0 — the + 0.0 normalization in BOTH twins makes the driver's
+    # exact value-hash agree (code-review r4 finding)
+    assert math.copysign(1.0, rows[0][1]) == 1.0
+    from ai_pdf_ocr_spark.queries import MICRO
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    oracle = {r[0]: r[3] for r in
+              con.execute(MICRO["text_token_entropy"].sql).fetchall()}
+    assert math.copysign(1.0, oracle[0]) == 1.0, oracle[0]
