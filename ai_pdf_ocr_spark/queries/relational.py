@@ -52,7 +52,7 @@ def q1_pricing_summary(spark, sf_dir):
     )
 
 
-@register("q3_top_revenue_orders", sql="""
+@micro("q3_top_revenue_orders", sql="""
 SELECT o.o_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
          AS revenue,
        CAST(o.o_orderdate AS VARCHAR) AS orderdate
@@ -82,7 +82,7 @@ def q3_top_revenue_orders(spark, sf_dir):
     )
 
 
-@register("q5_nation_revenue", sql="""
+@micro("q5_nation_revenue", sql="""
 SELECT n.n_name,
        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
        COUNT(*) AS n_items
@@ -648,10 +648,10 @@ def j_events_asof_bucketed(spark, sf_dir):
 # same window/session semantics a driver CORRECTNESS row.)
 
 @register("w_tumbling_event_metrics", sql="""
-SELECT CAST(epoch_us(ts) - epoch_us(ts) % 600000000 AS BIGINT)
+SELECT CAST(FLOOR(epoch_us(ts) / 600000000.0) * 600000000 AS BIGINT)
          AS window_start_us,
-       CAST(epoch_us(ts) - epoch_us(ts) % 600000000 + 600000000 AS BIGINT)
-         AS window_end_us,
+       CAST(FLOOR(epoch_us(ts) / 600000000.0) * 600000000 + 600000000
+            AS BIGINT) AS window_end_us,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 4) AS value_sum,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
@@ -663,10 +663,13 @@ def w_tumbling_event_metrics(spark, sf_dir):
     ``F.window`` operator the watermarked stream runs; batch/stream
     parity asserted in tests/test_streaming.py).
 
-    Oracle note: Spark tumbling windows are epoch-aligned, so the
-    DuckDB twin derives the window bounds with exact BIGINT microsecond
-    arithmetic (``us - us % width``) — no float epochs, no
-    timestamp-to-string formatting.
+    Oracle note: Spark tumbling windows are epoch-aligned (FLOOR
+    toward -inf), so the DuckDB twin derives the window bounds with
+    ``FLOOR(us / width) * width`` — NOT ``us - us % width``, whose
+    DuckDB ``%`` truncates toward zero and would misalign pre-1970
+    timestamps (ADVICE r4).  epoch_us values stay < 2^53, so the
+    double division is exact after FLOOR; no timestamp-to-string
+    formatting anywhere.
 
     Scale shape: one map-side-combinable groupBy on the window start
     (uniform keys — time buckets); countDistinct rewrites to a two-

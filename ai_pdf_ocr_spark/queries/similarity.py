@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import fixture_sql, load, register
+from . import fixture_sql, load, micro, register
 
 
 def _cosine(a, b):
@@ -28,7 +28,7 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
-@register("ann_bruteforce_topk", sql="""
+@micro("ann_bruteforce_topk", sql="""
 WITH q AS (
   SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
 ), flat AS (
@@ -60,7 +60,7 @@ def ann_bruteforce_topk(spark, sf_dir):
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(10)
 
 
-@register("dedup_embedding_cosine", sql="""
+@micro("dedup_embedding_cosine", sql="""
 WITH flat AS (
   SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
   FROM embeddings, generate_series(1, 64) g(i)
@@ -431,6 +431,48 @@ def _pq_train(sample):
     ]
 
 
+def _subspace_dists(cb_col, sub_col):
+    """(d, cid) struct array: squared L2 from ``sub_col`` to every
+    codebook entry.  Distances are materialized into a column FIRST by
+    the callers, then folded — inlining the distance expression in the
+    argmin lambda would evaluate it twice per centroid (the HOF
+    re-evaluation trap, CLAUDE.md).  NB a 2-arg HOF lambda would
+    receive the ELEMENT INDEX as its second argument — bind the
+    subspace column via closure, not a default."""
+    return F.transform(
+        cb_col,
+        lambda c: F.struct(
+            F.aggregate(F.zip_with(sub_col, c["cen"],
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda a, v: a + v).alias("d"),
+            c["cid"].alias("cid")))
+
+
+def _struct_argmin(col):
+    """argmin fold over a (d, cid) struct array — strict <, so ties
+    keep the lowest cid (same rule as the driver-side twin)."""
+    return F.aggregate(
+        col,
+        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("cid")),
+        lambda acc, p: F.when(p["d"] < acc["d"], p).otherwise(acc))
+
+
+def _pq_encode_cols(base, vec_col):
+    """Append _code0.._code{M-1} columns: per-subspace argmin codes of
+    ``vec_col`` against the broadcast ``cbs`` codebooks.  ZERO shuffle:
+    each subspace's (d, cid) array is materialized as a column, then
+    folded (pinned by tests/test_plans.py::test_pq_encode_no_shuffle)."""
+    for m in range(PQ_M):
+        sub = F.slice(vec_col, m * PQ_SUB + 1, PQ_SUB)
+        base = base.withColumn(f"_sub{m}", sub)
+        base = base.withColumn(
+            f"_dc{m}", _subspace_dists(F.element_at("cbs", m + 1),
+                                       F.col(f"_sub{m}")))
+        base = base.withColumn(f"_code{m}",
+                               _struct_argmin(F.col(f"_dc{m}"))["cid"])
+    return base
+
+
 @register("ann_pq_topk", sql=fixture_sql("ann_pq_topk"))
 def ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN (Jegou et al., TPAMI 2011) — the
@@ -483,30 +525,7 @@ def ann_pq_topk(spark, sf_dir):
     base = (e.where(F.col("vec_id") != 0)
             .withColumn("emb", emb)
             .crossJoin(F.broadcast(cb_row)))
-    # encode: materialize each subspace's (d, cid) array, then argmin
-    # (a 2-arg HOF lambda would receive the ELEMENT INDEX as its second
-    # argument — bind the subspace column via closure, not a default)
-    def _dists_over(cb_col, sub_col):
-        return F.transform(
-            cb_col,
-            lambda c: F.struct(
-                F.aggregate(F.zip_with(sub_col, c["cen"],
-                                       lambda x, y: (x - y) * (x - y)),
-                            F.lit(0.0), lambda a, v: a + v).alias("d"),
-                c["cid"].alias("cid")))
-
-    for m in range(PQ_M):
-        sub = F.slice("emb", m * PQ_SUB + 1, PQ_SUB)
-        base = base.withColumn(f"_sub{m}", sub)
-        base = base.withColumn(
-            f"_dc{m}", _dists_over(F.element_at("cbs", m + 1),
-                                   F.col(f"_sub{m}")))
-        argmin = F.aggregate(
-            F.col(f"_dc{m}"),
-            F.struct(F.lit(float("inf")).alias("d"),
-                     F.lit(-1).alias("cid")),
-            lambda acc, p: F.when(p["d"] < acc["d"], p).otherwise(acc))
-        base = base.withColumn(f"_code{m}", argmin["cid"])
+    base = _pq_encode_cols(base, "emb")
     # ADC distance: left-assoc sum of the 8 table lookups (the twin
     # adds in the same order)
     dist = F.element_at(F.element_at("adc", 1), F.col("_code0") + 1)
@@ -519,4 +538,105 @@ def ann_pq_topk(spark, sf_dir):
     w = Window.orderBy("_d", "vec_id")
     return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", "vec_id", "label",
+                    F.round("_d", 4).alias("adc_d2")))
+
+
+# --------------------------------------------------------- IVF-PQ ANN
+
+@register("ann_ivfpq_topk", sql=fixture_sql("ann_ivfpq_topk"))
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN — the composition of the two scale paths above and
+    the production FAISS "IVFADC" layout (Jegou et al., TPAMI 2011
+    §IV): an IVF coarse quantizer prunes the scan to IVF_NPROBE of
+    IVF_K lists, and within a list each vector is stored as PQ codes
+    of its coarse RESIDUAL (e - centroid); a query scans only 8-byte
+    codes against its per-list ADC table.  Residual encoding is what
+    distinguishes this from flat PQ: the codebooks only have to cover
+    the within-list displacement (a much smaller cell), so the same 8
+    bytes quantize far more precisely (new round 5, VERDICT r4 ask #4
+    follow-on).
+
+    Stages, and their 10^9-vector shape:
+      1. TRAIN (driver, bounded): IVF centroids on the stride sample;
+         PQ codebooks on the SAMPLE's residuals (standard IVFPQ
+         training — one shared residual codebook across lists).
+      2. ASSIGN + ENCODE (distributed, ZERO shuffle): one broadcast
+         row carries centroids + codebooks + the query's 8x8x16
+         per-list ADC tables; list assignment is the same HOF argmin
+         as ``ann_ivf_topk``; the residual is materialized as a column
+         (HOF re-evaluation trap), then encoded by ``_pq_encode_cols``.
+         A production ingest persists (list_id, codes) once, bucketed
+         by list_id — the probe below becomes partition pruning and
+         the scan reads 8-byte codes, never the float vectors
+         (demonstrated at corpus scale by pq_scale_bench.py +
+         tests/test_plans.py::test_pq_code_scan_reads_codes_only).
+      3. PROBE + ADC SEARCH: only vectors in the IVF_NPROBE query-
+         nearest lists survive the filter; distance = 8 ``element_at``
+         lookups into the assigned list's ADC table, summed left-
+         associatively; top-k via orderBy().limit() ->
+         TakeOrderedAndProject.
+
+    Oracle: fixture via the pure-Python twin (tests/
+    oracle_sketches.py::ivfpq_topk_rows — bit-identical folds)."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+
+    sample = [list(r.emb) for r in
+              (e.where(F.pmod("vec_id", F.lit(IVF_SAMPLE_STRIDE)) == 1)
+               .orderBy("vec_id").limit(IVF_SAMPLE_CAP)
+               .select(emb.alias("emb")).collect())]
+    cens = _ivf_train(sample)
+    residuals = []
+    for s in sample:
+        cen = cens[_ivf_assign_py(s, cens)]
+        residuals.append([x - y for x, y in zip(s, cen)])
+    cbs = [
+        _kmeans_py([r[m * PQ_SUB:(m + 1) * PQ_SUB] for r in residuals],
+                   PQ_K, PQ_ITERS)
+        for m in range(PQ_M)
+    ]
+    q_emb = list(e.where(F.col("vec_id") == 0)
+                 .select(emb.alias("emb")).first().emb)
+    probed = [cid for _, cid in
+              sorted((_l2_sq(q_emb, c), cid)
+                     for cid, c in enumerate(cens))[:IVF_NPROBE]]
+    adc = []
+    for cen in cens:
+        qr = [x - y for x, y in zip(q_emb, cen)]
+        adc.append([[_l2_sq(qr[m * PQ_SUB:(m + 1) * PQ_SUB], c)
+                     for c in cbs[m]]
+                    for m in range(PQ_M)])
+
+    bcast = spark.createDataFrame(
+        [(list(enumerate(cens)), [list(enumerate(cb)) for cb in cbs],
+          adc)],
+        "cens array<struct<cid:int,cen:array<double>>>, "
+        "cbs array<array<struct<cid:int,cen:array<double>>>>, "
+        "adc array<array<array<double>>>")
+
+    base = (e.where(F.col("vec_id") != 0)
+            .withColumn("emb", emb)
+            .crossJoin(F.broadcast(bcast))
+            .withColumn("_dc", _subspace_dists(F.col("cens"),
+                                               F.col("emb")))
+            .withColumn("list_id", _struct_argmin(F.col("_dc"))["cid"])
+            .drop("_dc")
+            .where(F.col("list_id").isin(probed)))
+    # residual vs the assigned list's centroid, materialized FIRST
+    cen_of = F.element_at("cens", F.col("list_id") + 1)["cen"]
+    base = base.withColumn(
+        "_res", F.zip_with("emb", cen_of, lambda x, y: x - y))
+    base = _pq_encode_cols(base, "_res")
+    # ADC: 8 lookups into the ASSIGNED list's table, left-assoc sum
+    tbl = F.element_at("adc", F.col("list_id") + 1)
+    dist = F.element_at(F.element_at(tbl, 1), F.col("_code0") + 1)
+    for m in range(1, PQ_M):
+        dist = dist + F.element_at(F.element_at(tbl, m + 1),
+                                   F.col(f"_code{m}") + 1)
+    top = (base.select("vec_id", "label", "list_id", dist.alias("_d"))
+           .orderBy("_d", "vec_id").limit(10))
+    from pyspark.sql import Window
+    w = Window.orderBy("_d", "vec_id")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "vec_id", "label", "list_id",
                     F.round("_d", 4).alias("adc_d2")))

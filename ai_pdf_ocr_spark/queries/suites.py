@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from . import MICRO, register
+from . import FIXTURE_DIR, MICRO, register
 
 _SUITE_SCHEMA = (("key", "STRING"), ("n", "BIGINT"), ("m", "BIGINT"),
                  ("r1", "DOUBLE"), ("r2", "DOUBLE"), ("r3", "DOUBLE"),
@@ -54,6 +54,16 @@ def _suite(name: str, doc: str, probes: list[tuple[str, dict[str, str]]]):
     for p, _ in probes:
         if p not in MICRO:
             raise RuntimeError(f"suite {name}: unknown probe {p}")
+        # suite members must be PLAIN-SQL-oracled: the composite's SQL
+        # wraps each member's oracle verbatim, and a fixture-backed
+        # probe (read_parquet over fixtures/expected) would silently
+        # couple the suite's correctness row to fixture freshness
+        # instead of an independent DuckDB computation (VERDICT r4 ask
+        # #8) — register those as their own fixture_sql rows instead
+        if FIXTURE_DIR in (MICRO[p].sql or ""):
+            raise RuntimeError(
+                f"suite {name}: probe {p} is fixture-backed — suites "
+                "accept only plain-SQL-oracled probes")
     sql = "\nUNION ALL\n".join(
         f"SELECT '{p}' AS probe, " + ", ".join(_reshape_exprs(m))
         + f" FROM (\n{MICRO[p].sql}\n)"
@@ -72,6 +82,7 @@ def _suite(name: str, doc: str, probes: list[tuple[str, dict[str, str]]]):
 
 # Import for the @micro side effects (populates MICRO).
 from . import relational  # noqa: E402,F401  isort:skip
+from . import similarity  # noqa: E402,F401  isort:skip
 from . import text_analysis  # noqa: E402,F401  isort:skip
 
 
@@ -128,6 +139,35 @@ suite_event_probes = _suite(
         ("a3_avg_empty_guard",
          {"key": "CAST(user_id AS STRING)", "n": "n_errors",
           "r1": "avg_error_value"}),
+    ])
+
+
+suite_exactness_twins = _suite(
+    "suite_exactness_twins",
+    """Exactness-twin + relational-headliner suite (round-5
+    consolidation, VERDICT r4 ask #3: frees gate-window headroom for
+    new operators without losing any probe's driver evidence).
+    Members: the two Ω(n)/Ω(n²) ground-truth baselines whose SCALE
+    paths are separately gated (``ann_bruteforce_topk`` — exact cosine
+    top-k, vs the LSH/IVF/PQ ANN rows; ``dedup_embedding_cosine`` —
+    exact all-pairs embedding dedup, vs ``dedup_embedding_verified``),
+    plus the q3/q5 TPC-H-shaped join headliners (q1 keeps its own row:
+    its 7 numeric aggregates exceed the suite reshape).  Each keeps its
+    own plan (broadcast dims, TakeOrderedAndProject top-k — pinned in
+    tests/test_plans.py) and its own DuckDB oracle; bench.py still
+    times ann_bruteforce_topk individually via the MICRO registry.""",
+    [
+        ("ann_bruteforce_topk",
+         {"key": "CAST(vec_id AS STRING)", "n": "vec_id", "m": "label",
+          "r1": "cosine"}),
+        ("dedup_embedding_cosine",
+         {"key": "CAST(v1 AS STRING) || '|' || CAST(v2 AS STRING)",
+          "n": "v1", "m": "v2", "r1": "cosine"}),
+        ("q3_top_revenue_orders",
+         {"key": "CAST(o_orderkey AS STRING)", "n": "o_orderkey",
+          "r1": "revenue", "s": "orderdate"}),
+        ("q5_nation_revenue",
+         {"key": "n_name", "n": "n_items", "r1": "revenue"}),
     ])
 
 

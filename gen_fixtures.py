@@ -157,9 +157,18 @@ def sketches():
     sh = {k: [] for k in ("_corpus", "doc_id", "simhash")}
     shp = {k: [] for k in ("_corpus", "d1", "d2", "hamming")}
     jv = {k: [] for k in ("_corpus", "d1", "d2", "jaccard")}
+    ce = {k: [] for k in ("_corpus", "doc_id", "epoch", "dup_exact",
+                          "dup_near")}
     for sf in SKETCH_SFS:
         m = marker(sf)
         docs = docs_table(sf)
+        for d, e, de, dn in OS.cross_epoch_flags(
+                [(d, t) for d, _, t in docs]):
+            ce["_corpus"].append(m)
+            ce["doc_id"].append(d)
+            ce["epoch"].append(e)
+            ce["dup_exact"].append(de)
+            ce["dup_near"].append(dn)
         for d1, d2 in OS.minhash_lsh_pairs([(d, t) for d, _, t in docs]):
             mh["_corpus"].append(m)
             mh["d1"].append(d1)
@@ -192,6 +201,10 @@ def sketches():
     _write("dedup_jaccard_verified", jv,
            {"_corpus": pa.int64(), "d1": pa.int64(), "d2": pa.int64(),
             "jaccard": pa.float64()})
+    _write("dedup_cross_epoch", ce,
+           {"_corpus": pa.int64(), "doc_id": pa.int64(),
+            "epoch": pa.int32(), "dup_exact": pa.bool_(),
+            "dup_near": pa.bool_()})
 
 
 def ann():
@@ -204,9 +217,18 @@ def ann():
                            "list_id", "cosine")}
     pq = {k: [] for k in ("_corpus", "rank", "vec_id", "label",
                           "adc_d2")}
+    ivfpq = {k: [] for k in ("_corpus", "rank", "vec_id", "label",
+                             "list_id", "adc_d2")}
     for sf in SKETCH_SFS:
         m = marker(sf)
         vecs = emb_table(sf)
+        for rank, v, lab, cid, d in OS.ivfpq_topk_rows(vecs):
+            ivfpq["_corpus"].append(m)
+            ivfpq["rank"].append(rank)
+            ivfpq["vec_id"].append(v)
+            ivfpq["label"].append(lab)
+            ivfpq["list_id"].append(cid)
+            ivfpq["adc_d2"].append(d)
         for rank, v, lab, d in OS.pq_topk_rows(vecs):
             pq["_corpus"].append(m)
             pq["rank"].append(rank)
@@ -258,6 +280,10 @@ def ann():
            {"_corpus": pa.int64(), "rank": pa.int32(),
             "vec_id": pa.int64(), "label": pa.int32(),
             "adc_d2": pa.float64()})
+    _write("ann_ivfpq_topk", ivfpq,
+           {"_corpus": pa.int64(), "rank": pa.int32(),
+            "vec_id": pa.int64(), "label": pa.int32(),
+            "list_id": pa.int32(), "adc_d2": pa.float64()})
 
 
 # ------------------------------------------------- checksum manifest

@@ -217,6 +217,34 @@ def jaccard_verified_pairs(docs: list[tuple], n_hashes: int = 32,
 
 # --------------------------------------------------------- SimHash
 
+def cross_epoch_flags(docs: list[tuple], n_epochs: int = 4) -> list[tuple]:
+    """Twin of queries/dedup.py::dedup_cross_epoch: docs [(doc_id,
+    text)] -> [(doc_id, epoch, dup_exact, dup_near)] sorted by doc_id.
+    epoch = doc_id % n_epochs; a doc is dup_exact when a STRICTLY
+    EARLIER epoch holds the same md5(lower(trim(text))) digest,
+    dup_near when it shares >= 1 MinHash band key (16 perms x 4 bands
+    over its distinct tokens) with an earlier-epoch doc."""
+    import hashlib
+    key_min: dict = {}
+    band_min: dict = {}
+    infos = []
+    for d, t in docs:
+        e = d % n_epochs
+        k = hashlib.md5((t or "").strip(" ").lower()
+                        .encode("utf-8")).hexdigest()
+        sig = minhash_signature(tokens_py(t or ""), 16)
+        bks = band_keys(sig, 4) if sig is not None else None
+        infos.append((d, e, k, bks))
+        key_min[k] = min(key_min.get(k, e), e)
+        if bks:
+            for b, bk in enumerate(bks):
+                band_min[(b, bk)] = min(band_min.get((b, bk), e), e)
+    return [(d, e, key_min[k] < e,
+             bool(bks) and any(band_min[(b, bk)] < e
+                               for b, bk in enumerate(bks)))
+            for d, e, k, bks in sorted(infos)]
+
+
 def simhash_sig(text: str) -> int | None:
     """64-bit SimHash over the token MULTISET; signed-long result.
     None when the doc has no tokens (absent from the Spark groupBy).
@@ -517,3 +545,52 @@ def pq_topk_rows(vectors: list[tuple], k: int = 10) -> list[tuple]:
     cands.sort(key=lambda c: (c[2], c[0]))
     return [(rank, v, lab, spark_round(d))
             for rank, (v, lab, d) in enumerate(cands[:k], start=1)]
+
+
+def ivfpq_topk_rows(vectors: list[tuple], k: int = 10) -> list[tuple]:
+    """Twin of queries/similarity.py::ann_ivfpq_topk (IVF coarse
+    quantizer + PQ over coarse RESIDUALS, the FAISS IVFADC layout):
+    train IVF centroids on the stride sample, PQ codebooks on the
+    sample's residuals (e - assigned centroid), then scan only the
+    IVF_NPROBE query-nearest lists, encoding each vector's residual to
+    8 codes and summing the query's per-list ADC table left-
+    associatively -> (rank, vec_id, label, list_id, adc_d2).
+    ``vectors`` sorted by vec_id; every float op sequential in
+    index/member order, matching the Spark folds bit-for-bit."""
+    sample = [e for v, e, _ in vectors
+              if v % IVF_SAMPLE_STRIDE == 1][:IVF_SAMPLE_CAP]
+    cens = _kmeans(sample, IVF_K, IVF_ITERS)
+    residuals = []
+    for e in sample:
+        cen = cens[_ivf_assign(e, cens)]
+        residuals.append([x - y for x, y in zip(e, cen)])
+    cbs = [_kmeans([r[m * PQ_SUB:(m + 1) * PQ_SUB] for r in residuals],
+                   PQ_K, PQ_ITERS)
+           for m in range(PQ_M)]
+    q = next(e for v, e, _ in vectors if v == 0)
+    probed = {cid for _, cid in
+              sorted((_l2_py(q, c), cid)
+                     for cid, c in enumerate(cens))[:IVF_NPROBE]}
+    adc = []
+    for cen in cens:
+        qr = [x - y for x, y in zip(q, cen)]
+        adc.append([[_l2_py(qr[m * PQ_SUB:(m + 1) * PQ_SUB], c)
+                     for c in cbs[m]]
+                    for m in range(PQ_M)])
+    cands = []
+    for v, e, lab in vectors:
+        if v == 0:
+            continue
+        cid = _ivf_assign(e, cens)
+        if cid not in probed:
+            continue
+        r = [x - y for x, y in zip(e, cens[cid])]
+        dist = None
+        for m in range(PQ_M):
+            code = _ivf_assign(r[m * PQ_SUB:(m + 1) * PQ_SUB], cbs[m])
+            t = adc[cid][m][code]
+            dist = t if dist is None else dist + t
+        cands.append((v, lab, cid, dist))
+    cands.sort(key=lambda c: (c[3], c[0]))
+    return [(rank, v, lab, cid, spark_round(d))
+            for rank, (v, lab, cid, d) in enumerate(cands[:k], start=1)]

@@ -53,6 +53,27 @@ def test_every_registered_query_has_an_oracle():
         f"rows-only check): {rows_only}")
 
 
+def test_suite_rejects_fixture_backed_probes():
+    """A suite member's oracle is wrapped verbatim into the composite
+    SQL, so a fixture-backed probe would silently couple the suite's
+    driver row to fixture freshness — _suite must refuse it (VERDICT
+    r4 ask #8)."""
+    import pytest
+
+    from ai_pdf_ocr_spark.queries import FIXTURE_DIR, MICRO, Q
+    from ai_pdf_ocr_spark.queries.suites import _suite
+    _registry()  # populate MICRO
+    MICRO["_fixture_probe_for_test"] = Q(
+        lambda spark, sf: None,
+        f"SELECT * FROM read_parquet('{FIXTURE_DIR}/x.parquet')")
+    try:
+        with pytest.raises(RuntimeError, match="fixture-backed"):
+            _suite("suite_bad_test", "doc",
+                   [("_fixture_probe_for_test", {"n": "n"})])
+    finally:
+        del MICRO["_fixture_probe_for_test"]
+
+
 def test_no_gated_operator_lost_by_consolidation():
     """Every name the newest driver CORRECTNESS file gated must still
     exist — as a registry row or as a micro probe inside a suite."""

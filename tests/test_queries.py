@@ -572,6 +572,149 @@ def test_duplicate_spans_within_doc_repeat(spark, tmp_path):
     assert rows[3].n_dup_windows == 1
 
 
+def test_band_pairs_star_fallback(spark):
+    """The hard residual ceiling (ADVICE r4): a band bucket over
+    ``star_over`` emits O(B) star edges instead of C(B,2) pairs, cold
+    buckets keep exact all-pairs, and the star edge set spans EXACTLY
+    the same connected components as the all-pairs emission."""
+    from ai_pdf_ocr_spark.queries.dedup import _band_pairs
+    rows = [(i, 0, "hot") for i in range(100)] + \
+           [(200, 1, "a"), (201, 1, "a"), (300, 2, "b")]
+    banded = spark.createDataFrame(
+        rows, "doc_id long, band int, band_key string")
+    allp = {(r.d1, r.d2) for r in _band_pairs(banded).collect()}
+    star = {(r.d1, r.d2) for r in
+            _band_pairs(banded, star_over=64).collect()}
+    assert len(allp) == 100 * 99 // 2 + 1
+    assert len(star) == 99 + 1, "hot bucket must emit O(B) star edges"
+    assert star - allp == set(), "star edges must be a subset"
+
+    def components(pairs, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        groups = {}
+        for n in nodes:
+            groups.setdefault(find(n), set()).add(n)
+        return sorted(map(frozenset, groups.values()), key=min)
+
+    nodes = {r[0] for r in rows}
+    assert components(star, nodes) == components(allp, nodes)
+
+
+def test_length_quantiles_approx_flip(spark):
+    """The 100 TB state flip (VERDICT r4 ask #5b): approx_percentile
+    (accuracy 10000 -> rank error <= n/10000) must agree with the
+    exact operator on every non-quantile column and land within the
+    neighboring order statistics of each exact quantile (at the test
+    corpus sizes the rank error is < 1, so the approx value is one of
+    the two ranks the exact linear interpolation sits between)."""
+    from ai_pdf_ocr_spark.queries.curation import corpus_length_quantiles
+    exact = {r.lang: r for r in
+             corpus_length_quantiles(spark, SF_DIR).collect()}
+    approx = {r.lang: r for r in
+              corpus_length_quantiles(spark, SF_DIR, approx=True)
+              .collect()}
+    assert set(exact) == set(approx)
+    lens = {r.lang: sorted(x.n_chars for x in rows) for r in exact.values()
+            for rows in [spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                         .where(f"lang = '{r.lang}'")
+                         .select("n_chars").collect()]}
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert a.max_chars == e.max_chars and a.n_docs == e.n_docs
+        vals = lens[lang]
+        for q, c in ((0.5, "p50_chars"), (0.9, "p90_chars"),
+                     (0.99, "p99_chars")):
+            idx = (len(vals) - 1) * q
+            lo = vals[int(idx)]
+            hi = vals[min(int(idx) + 1, len(vals) - 1)]
+            got = getattr(a, c)
+            assert lo <= got <= hi, (lang, c, lo, got, hi)
+
+
+def test_ivfpq_planted_neighbors_and_twin_agreement(spark, tmp_path):
+    """IVF-PQ on the planted-near-dup corpus: residual encoding makes
+    the quantization cell much smaller than flat PQ's, so ALL top-10
+    rows must be planted neighbors (the twin measures 10/10); and the
+    Spark operator must agree with the pure-Python twin row-for-row on
+    a corpus the fixtures never saw (fixture-independent parity)."""
+    import numpy as np
+
+    from ai_pdf_ocr_spark.queries.similarity import ann_ivfpq_topk
+    from tests.oracle_sketches import ivfpq_topk_rows
+    rng = np.random.RandomState(11)
+    q = rng.randn(64).astype(np.float32)
+    rows = [(0, q.tolist(), 0)]
+    for i in range(1, 21):
+        v = q + 0.1 * rng.randn(64).astype(np.float32)
+        rows.append((i, v.astype(np.float32).tolist(), 1))
+    for i in range(21, 500):
+        rows.append((i, rng.randn(64).astype(np.float32).tolist(), 2))
+    _write_embeddings(str(tmp_path / "embeddings.parquet"), rows)
+    out = ann_ivfpq_topk(spark, str(tmp_path)).collect()
+    assert len(out) == 10
+    assert all(r.label == 1 for r in out), \
+        f"non-planted rows in top-10: {[(r.vec_id, r.label) for r in out]}"
+    twin = ivfpq_topk_rows([(v, [float(x) for x in e], lab)
+                            for v, e, lab in rows])
+    got = [(r.rank, r.vec_id, r.label, r.list_id, r.adc_d2) for r in out]
+    assert sorted(got) == sorted(twin)
+
+
+def test_cross_epoch_strictly_earlier_semantics(spark, tmp_path):
+    """Planted epochs (epoch = doc_id % 4): only STRICTLY EARLIER
+    epochs flag a doc — the first holder of a digest is never flagged,
+    a same-epoch twin is never flagged by its peer, and a later-epoch
+    twin is flagged dup_exact AND dup_near (identical text shares all
+    band keys).  Near-dup text (one token changed in 40) must flag
+    dup_near without dup_exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ai_pdf_ocr_spark.queries import all_queries
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok7", "zzz7")
+    texts = {
+        # epoch 0 original; epoch-0 twin (doc 4: same epoch -> clean);
+        # epoch 1 twin (doc 5: flagged exact+near)
+        0: base, 4: base, 5: base,
+        # epoch 2 near-dup of base -> dup_near only
+        6: near,
+        # epoch 3 unrelated -> clean
+        7: " ".join(f"other{i}" for i in range(40)),
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["synth"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts.values()], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in all_queries()["dedup_cross_epoch"]
+            .fn(spark, str(tmp_path)).collect()}
+    assert len(rows) == len(texts)
+    assert not rows[0].dup_exact and not rows[0].dup_near
+    assert not rows[4].dup_exact and not rows[4].dup_near, \
+        "same-epoch twin must not flag (strictly-earlier rule)"
+    assert rows[5].dup_exact and rows[5].dup_near
+    assert not rows[6].dup_exact and rows[6].dup_near, \
+        "near-dup text must flag dup_near only"
+    assert not rows[7].dup_exact and not rows[7].dup_near
+    # twin agreement on the same corpus (fixture-independent)
+    from tests.oracle_sketches import cross_epoch_flags
+    expect = cross_epoch_flags(list(texts.items()))
+    got = sorted((r.doc_id, r.epoch, r.dup_exact, r.dup_near)
+                 for r in rows.values())
+    assert got == expect
+
+
 def test_pq_separates_planted_neighbors(spark, tmp_path):
     """ADC's guarantee is SET retrieval, not intra-set ranking: the
     quantized distance must cleanly separate planted near-duplicates
