@@ -47,6 +47,8 @@ HEADLINE = [
     "w_tumbling_event_metrics",  # r4: streaming window batch twin
     "w_session_window_agg",      # r4: session_window batch twin
     "ann_pq_topk",               # r4: product-quantization ADC ANN
+    "dedup_cross_epoch",         # r5: cross-epoch dedup batch twin
+    "ann_ivfpq_topk",            # r5: IVF-PQ (FAISS IVFADC layout)
 ]
 
 # Megarow pair queries: timed via a CHECKSUM AGGREGATE (count +

@@ -204,6 +204,47 @@ def test_asof_bucketed_equals_base_on_skewed_user(spark, tmp_path):
         plan[:3000]
 
 
+def test_pq_code_scan_reads_codes_only(spark, tmp_path):
+    """The PQ serving path's whole reason to exist (VERDICT r4 ask #4):
+    with the float vectors sitting IN THE SAME parquet file as the
+    codes, the ADC search's scan must column-prune down to (vec_id,
+    codes) — the embedding never leaves storage — and the result must
+    equal a driver-side recompute over the collected codes exactly
+    (identical double arithmetic: same broadcast ADC table, same
+    left-assoc sum)."""
+    from ai_pdf_ocr_spark.queries.similarity import (PQ_M, PQ_SUB,
+                                                     _l2_sq, pq_adc_topk,
+                                                     pq_encode_table)
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    codes_df, cbs = pq_encode_table(spark, e.where("vec_id != 0"))
+    (codes_df.join(e.select("vec_id", "embedding"), "vec_id")
+     .write.parquet(str(tmp_path / "codes.parquet")))
+    q_emb = [float(x) for x in
+             e.where("vec_id = 0").first().embedding]
+    stored = spark.read.parquet(str(tmp_path / "codes.parquet"))
+    top = pq_adc_topk(stored, cbs, q_emb)
+    plan = _executed_plan(top)
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "codes" in m.group(1), plan[:2000]
+    assert "embedding" not in m.group(1), m.group(1)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    # exactness: driver-side recompute over the collected codes
+    adc = [[_l2_sq(q_emb[i * PQ_SUB:(i + 1) * PQ_SUB], cen)
+            for cen in cbs[i]] for i in range(PQ_M)]
+
+    def dist(codes):
+        t = adc[0][codes[0]]
+        for i in range(1, PQ_M):
+            t = t + adc[i][codes[i]]
+        return t
+
+    exp = sorted((dist(list(r.codes)), r.vec_id)
+                 for r in stored.select("vec_id", "codes").collect())[:10]
+    got = [(r.adc_d2, r.vec_id) for r in top.collect()]
+    assert got == exp
+
+
 def test_duplicate_spans_hash_key_flip(spark):
     """The 100 TB shuffle-key flip (VERDICT r4 ask #5a): keying the
     window shuffles by xxhash64(win) must produce IDENTICAL results
