@@ -167,8 +167,12 @@ ORDER = [
     "ann_lsh_multiprobe",
     # new in round 4
     "ann_pq_topk",
-    # new in round 5: IVF-PQ composition (FAISS IVFADC layout)
+    # new in round 5: IVF-PQ composition (FAISS IVFADC layout) and the
+    # two-stage PQ retrieval (ADC coarse set -> exact re-rank); these
+    # fill the gate window to exactly 50 — any round-6 operator must
+    # consolidate first (suite packaging, queries/suites.py)
     "ann_ivfpq_topk",
+    "ann_pq_rerank_topk",
 ]
 
 

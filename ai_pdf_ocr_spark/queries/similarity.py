@@ -605,6 +605,77 @@ def pq_adc_topk(codes_df, cbs, q_emb, k=10):
             .orderBy("adc_d2", "vec_id").limit(k))
 
 
+PQ_RERANK_R = 50  # coarse ADC candidates re-ranked exactly
+
+
+@register("ann_pq_rerank_topk", sql=fixture_sql("ann_pq_rerank_topk"))
+def ann_pq_rerank_topk(spark, sf_dir):
+    """PQ + exact re-rank — the two-stage retrieval that completes the
+    PQ story (round 5): stage 1 scans CODES for the ADC top-
+    {PQ_RERANK_R} candidate set (the memory-bound pass — quantized
+    distances, set retrieval only), stage 2 fetches ONLY those
+    {PQ_RERANK_R} rows' float vectors and re-ranks them by exact
+    squared L2, recovering exact order at O(R) float cost.  This is
+    the textbook ADC trade spelled out in the round-4 PQ tests
+    ("a re-rank pass over the original vectors of the candidate set
+    buys order") — now an operator with its own oracle.
+
+    Scale shape: stage 1 is the ``pq_adc_topk`` scan (8-byte codes,
+    zero shuffle, TakeOrderedAndProject); stage 2 broadcasts the
+    R-row candidate id list against the embeddings table — with the
+    corpus bucketed by vec_id that is R point fetches, never a
+    shuffle; top-k again TakeOrderedAndProject.  No hash Exchange
+    anywhere (pinned, tests/test_plans.py::test_pq_rerank_no_shuffle).
+
+    Oracle: fixture via the pure-Python twin (tests/
+    oracle_sketches.py::pq_rerank_topk_rows — identical ADC folds,
+    identical (dist, vec_id) tie-break at the R cut)."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+
+    sample = [list(r.emb) for r in
+              (e.where(F.pmod("vec_id", F.lit(IVF_SAMPLE_STRIDE)) == 1)
+               .orderBy("vec_id").limit(IVF_SAMPLE_CAP)
+               .select(emb.alias("emb")).collect())]
+    cbs = _pq_train(sample)
+    q_emb = list(e.where(F.col("vec_id") == 0)
+                 .select(emb.alias("emb")).first().emb)
+    adc = [[_l2_sq(q_emb[m * PQ_SUB:(m + 1) * PQ_SUB], cen)
+            for cen in cbs[m]]
+           for m in range(PQ_M)]
+    cb_row = spark.createDataFrame(
+        [(([list(enumerate(cb)) for cb in cbs]), adc)],
+        "cbs array<array<struct<cid:int,cen:array<double>>>>, "
+        "adc array<array<double>>")
+
+    base = (e.where(F.col("vec_id") != 0)
+            .withColumn("emb", emb)
+            .crossJoin(F.broadcast(cb_row)))
+    base = _pq_encode_cols(base, "emb")
+    dist = F.element_at(F.element_at("adc", 1), F.col("_code0") + 1)
+    for m in range(1, PQ_M):
+        dist = dist + F.element_at(F.element_at("adc", m + 1),
+                                   F.col(f"_code{m}") + 1)
+    coarse = (base.select("vec_id", dist.alias("_adc"))
+              .orderBy("_adc", "vec_id").limit(PQ_RERANK_R))
+
+    q_row = spark.createDataFrame([(q_emb,)], "qe array<double>")
+    d2 = F.aggregate(F.zip_with("emb", F.col("qe"),
+                                lambda x, y: (x - y) * (x - y)),
+                     F.lit(0.0), lambda a, v: a + v)
+    top = (e.where(F.col("vec_id") != 0)
+           .withColumn("emb", emb)
+           .join(F.broadcast(coarse.select("vec_id")), "vec_id")
+           .crossJoin(F.broadcast(q_row))
+           .select("vec_id", "label", d2.alias("_d"))
+           .orderBy("_d", "vec_id").limit(10))
+    from pyspark.sql import Window
+    w = Window.orderBy("_d", "vec_id")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "vec_id", "label",
+                    F.round("_d", 4).alias("d2")))
+
+
 # --------------------------------------------------------- IVF-PQ ANN
 
 @register("ann_ivfpq_topk", sql=fixture_sql("ann_ivfpq_topk"))

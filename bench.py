@@ -49,6 +49,7 @@ HEADLINE = [
     "ann_pq_topk",               # r4: product-quantization ADC ANN
     "dedup_cross_epoch",         # r5: cross-epoch dedup batch twin
     "ann_ivfpq_topk",            # r5: IVF-PQ (FAISS IVFADC layout)
+    "ann_pq_rerank_topk",        # r5: ADC coarse set -> exact re-rank
 ]
 
 # Megarow pair queries: timed via a CHECKSUM AGGREGATE (count +

@@ -219,9 +219,16 @@ def ann():
                           "adc_d2")}
     ivfpq = {k: [] for k in ("_corpus", "rank", "vec_id", "label",
                              "list_id", "adc_d2")}
+    rer = {k: [] for k in ("_corpus", "rank", "vec_id", "label", "d2")}
     for sf in SKETCH_SFS:
         m = marker(sf)
         vecs = emb_table(sf)
+        for rank, v, lab, d in OS.pq_rerank_topk_rows(vecs):
+            rer["_corpus"].append(m)
+            rer["rank"].append(rank)
+            rer["vec_id"].append(v)
+            rer["label"].append(lab)
+            rer["d2"].append(d)
         for rank, v, lab, cid, d in OS.ivfpq_topk_rows(vecs):
             ivfpq["_corpus"].append(m)
             ivfpq["rank"].append(rank)
@@ -284,6 +291,10 @@ def ann():
            {"_corpus": pa.int64(), "rank": pa.int32(),
             "vec_id": pa.int64(), "label": pa.int32(),
             "list_id": pa.int32(), "adc_d2": pa.float64()})
+    _write("ann_pq_rerank_topk", rer,
+           {"_corpus": pa.int64(), "rank": pa.int32(),
+            "vec_id": pa.int64(), "label": pa.int32(),
+            "d2": pa.float64()})
 
 
 # ------------------------------------------------- checksum manifest

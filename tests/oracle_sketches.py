@@ -547,6 +547,39 @@ def pq_topk_rows(vectors: list[tuple], k: int = 10) -> list[tuple]:
             for rank, (v, lab, d) in enumerate(cands[:k], start=1)]
 
 
+def pq_rerank_topk_rows(vectors: list[tuple], k: int = 10,
+                        r: int = 50) -> list[tuple]:
+    """Twin of queries/similarity.py::ann_pq_rerank_topk: flat-PQ ADC
+    coarse top-``r`` candidates (ties broken by vec_id — same order as
+    the Spark TakeOrderedAndProject), then EXACT squared-L2 re-rank of
+    only those r rows -> (rank, vec_id, label, d2).  ``vectors``
+    sorted by vec_id."""
+    sample = [e for v, e, _ in vectors
+              if v % IVF_SAMPLE_STRIDE == 1][:IVF_SAMPLE_CAP]
+    cbs = [_kmeans([e[m * PQ_SUB:(m + 1) * PQ_SUB] for e in sample],
+                   PQ_K, PQ_ITERS)
+           for m in range(PQ_M)]
+    q = next(e for v, e, _ in vectors if v == 0)
+    adc = [[_l2_py(q[m * PQ_SUB:(m + 1) * PQ_SUB], cen)
+            for cen in cbs[m]]
+           for m in range(PQ_M)]
+    coarse = []
+    for v, e, lab in vectors:
+        if v == 0:
+            continue
+        dist = None
+        for m in range(PQ_M):
+            code = _ivf_assign(e[m * PQ_SUB:(m + 1) * PQ_SUB], cbs[m])
+            t = adc[m][code]
+            dist = t if dist is None else dist + t
+        coarse.append((dist, v, e, lab))
+    coarse.sort(key=lambda c: (c[0], c[1]))
+    rer = [(v, lab, _l2_py(e, q)) for _, v, e, lab in coarse[:r]]
+    rer.sort(key=lambda c: (c[2], c[0]))
+    return [(rank, v, lab, spark_round(d))
+            for rank, (v, lab, d) in enumerate(rer[:k], start=1)]
+
+
 def ivfpq_topk_rows(vectors: list[tuple], k: int = 10) -> list[tuple]:
     """Twin of queries/similarity.py::ann_ivfpq_topk (IVF coarse
     quantizer + PQ over coarse RESIDUALS, the FAISS IVFADC layout):

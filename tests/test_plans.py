@@ -276,6 +276,18 @@ def test_ivfpq_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan, plan[:2000]
 
 
+def test_pq_rerank_no_shuffle(spark):
+    """ann_pq_rerank_topk: coarse ADC top-R via TakeOrderedAndProject,
+    candidate ids broadcast back onto the embeddings scan (BHJ), exact
+    re-rank top-k again TakeOrderedAndProject — no hash Exchange in
+    either stage."""
+    from ai_pdf_ocr_spark.queries import all_queries
+    plan = _executed_plan(all_queries()["ann_pq_rerank_topk"]
+                          .fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+
+
 def test_pq_encode_no_shuffle(spark):
     """ann_pq_topk's executed plan: codebooks + ADC table ride ONE
     broadcast row; encode (8 argmin folds) and the ADC sum are pure
