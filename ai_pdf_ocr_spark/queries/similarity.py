@@ -775,3 +775,89 @@ def ann_ivfpq_topk(spark, sf_dir):
     return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", "vec_id", "label", "list_id",
                     F.round("_d", 4).alias("adc_d2")))
+
+
+# --------------------------- IVF-PQ ingest-time encode + pruned scan
+# The production split for ``ann_ivfpq_topk`` (same pattern as
+# pq_encode_table/pq_adc_topk): encode ONCE, persist (list_id, codes)
+# PARTITIONED BY list_id, and a query's nprobe filter becomes parquet
+# PARTITION PRUNING — the scan physically reads only nprobe/IVF_K of
+# the code files, on top of the 8-bytes-per-row ADC scan.  Pinned by
+# tests/test_plans.py::test_ivfpq_partition_pruned_scan; measured by
+# pq_scale_bench.py.
+
+
+def ivfpq_encode_table(spark, emb_df):
+    """Ingest-time IVF-PQ encode: train IVF centroids + residual PQ
+    codebooks on the bounded stride sample (identical floats to
+    ``ann_ivfpq_topk``), then one zero-shuffle pass assigns each row
+    its ``list_id`` and encodes its coarse residual to PQ_M codes.
+    Returns ``(codes_df, cens, cbs)``; write codes_df with
+    ``.partitionBy("list_id")`` so serving prunes to the probed
+    lists."""
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    sample = [list(r.emb) for r in
+              (emb_df.where(F.pmod("vec_id",
+                                   F.lit(IVF_SAMPLE_STRIDE)) == 1)
+               .orderBy("vec_id").limit(IVF_SAMPLE_CAP)
+               .select(emb.alias("emb")).collect())]
+    cens = _ivf_train(sample)
+    residuals = []
+    for s in sample:
+        cen = cens[_ivf_assign_py(s, cens)]
+        residuals.append([x - y for x, y in zip(s, cen)])
+    cbs = [
+        _kmeans_py([r[m * PQ_SUB:(m + 1) * PQ_SUB] for r in residuals],
+                   PQ_K, PQ_ITERS)
+        for m in range(PQ_M)
+    ]
+    bcast = spark.createDataFrame(
+        [(list(enumerate(cens)), [list(enumerate(cb)) for cb in cbs])],
+        "cens array<struct<cid:int,cen:array<double>>>, "
+        "cbs array<array<struct<cid:int,cen:array<double>>>>")
+    base = (emb_df.withColumn("emb", emb)
+            .crossJoin(F.broadcast(bcast))
+            .withColumn("_dc", _subspace_dists(F.col("cens"),
+                                               F.col("emb")))
+            .withColumn("list_id", _struct_argmin(F.col("_dc"))["cid"])
+            .drop("_dc"))
+    cen_of = F.element_at("cens", F.col("list_id") + 1)["cen"]
+    base = base.withColumn(
+        "_res", F.zip_with("emb", cen_of, lambda x, y: x - y))
+    base = _pq_encode_cols(base, "_res")
+    codes = F.array(*[F.col(f"_code{m}") for m in range(PQ_M)])
+    keep = [c for c in emb_df.columns if c != "embedding"]
+    return (base.select(*keep, "list_id", codes.alias("codes")),
+            cens, cbs)
+
+
+def ivfpq_adc_topk(codes_df, cens, cbs, q_emb, k=10,
+                   nprobe=IVF_NPROBE):
+    """ADC top-k over a persisted IVF-PQ codes table: rank lists
+    driver-side by query-to-centroid distance, FILTER to the nprobe
+    nearest (partition pruning when the table is partitioned by
+    list_id), and sum the per-list ADC lookups.  Same quantized
+    distances as ``ann_ivfpq_topk`` — the serve-path twin of the
+    operator's inline computation."""
+    spark = codes_df.sparkSession
+    probed = [cid for _, cid in
+              sorted((_l2_sq(q_emb, c), cid)
+                     for cid, c in enumerate(cens))[:nprobe]]
+    adc = []
+    for cen in cens:
+        qr = [x - y for x, y in zip(q_emb, cen)]
+        adc.append([[_l2_sq(qr[m * PQ_SUB:(m + 1) * PQ_SUB], c)
+                     for c in cbs[m]]
+                    for m in range(PQ_M)])
+    adc_row = spark.createDataFrame([(adc,)],
+                                    "adc array<array<array<double>>>")
+    base = (codes_df.where(F.col("list_id").isin(probed))
+            .crossJoin(F.broadcast(adc_row)))
+    tbl = F.element_at("adc", F.col("list_id") + 1)
+    dist = F.element_at(F.element_at(tbl, 1),
+                        F.element_at("codes", 1) + 1)
+    for m in range(1, PQ_M):
+        dist = dist + F.element_at(F.element_at(tbl, m + 1),
+                                   F.element_at("codes", m + 1) + 1)
+    return (base.select("vec_id", "list_id", dist.alias("adc_d2"))
+            .orderBy("adc_d2", "vec_id").limit(k))

@@ -10,13 +10,17 @@ scan cost to dominate (default 500k 64-dim vectors, ~PQ_BENCH_N env):
     xxhash64-derived components — no RNG, reproducible across runs);
  2. ENCODE ONCE at ingest (queries/similarity.py::pq_encode_table,
     zero-shuffle) and persist the codes parquet next to the corpus;
- 3. A/B the same top-10 query:
-      float path — exact L2 over the float vectors (reads the
-                   embedding column: 64 multiplies/row);
-      code path  — ADC over the codes parquet (reads the 8-byte codes:
-                   8 table lookups/row; queries/similarity.py::
-                   pq_adc_topk).
-    Both end in TakeOrderedAndProject; best-of-3 after a warm pass,
+ 3. A/B/C the same top-10 query:
+      float path  — exact L2 over the float vectors (reads the
+                    embedding column: 64 multiplies/row);
+      code path   — ADC over the codes parquet (reads the 8-byte
+                    codes: 8 table lookups/row; queries/similarity.py
+                    ::pq_adc_topk);
+      IVF-PQ path — ADC over codes PARTITIONED BY list_id: the nprobe
+                    filter is parquet partition pruning, so the scan
+                    physically reads only nprobe/IVF_K of the code
+                    files (ivfpq_adc_topk).
+    All end in TakeOrderedAndProject; best-of-3 after a warm pass,
     bracketed by the raw-CPU calibration (this box has 2x tenancy
     swings — BASELINE.md).
 
@@ -70,6 +74,13 @@ def _bytes(path: str) -> int:
                for p in glob.glob(os.path.join(path, "*.parquet")))
 
 
+def _bytes_tree(path: str) -> int:
+    """Recursive variant for partitioned tables (list_id=*/...)."""
+    return sum(os.path.getsize(os.path.join(d, f))
+               for d, _, fs in os.walk(path)
+               for f in fs if f.endswith(".parquet"))
+
+
 def _best_of(fn, runs=3):
     fn()  # warm: codegen + python worker spin-up, untimed
     best, out = None, None
@@ -87,7 +98,9 @@ def main() -> None:
     from ai_pdf_ocr_spark.engine.session import build_session
     from pyspark.sql import functions as F
 
-    from ai_pdf_ocr_spark.queries.similarity import (pq_adc_topk,
+    from ai_pdf_ocr_spark.queries.similarity import (ivfpq_adc_topk,
+                                                     ivfpq_encode_table,
+                                                     pq_adc_topk,
                                                      pq_encode_table)
 
     cal_before = _calibrate()
@@ -111,6 +124,18 @@ def main() -> None:
     q_emb = [float(x) for x in e.where("vec_id = 0").first().embedding]
     q_row = spark.createDataFrame([(q_emb,)], "qe array<double>")
 
+    # IVF-PQ codes partitioned by list_id: the nprobe filter becomes
+    # parquet PARTITION PRUNING — the scan reads only nprobe/IVF_K of
+    # the code files (plan-pinned in tests/test_plans.py)
+    ivfpq_path = f"{BASE}/ivfpq_codes"
+    t0 = time.monotonic()
+    icodes_df, cens, cbs2 = ivfpq_encode_table(spark,
+                                               e.where("vec_id != 0"))
+    icodes_df.write.mode("overwrite").partitionBy("list_id") \
+        .parquet(ivfpq_path)
+    ivfpq_encode_s = round(time.monotonic() - t0, 3)
+    icodes = spark.read.parquet(ivfpq_path)
+
     def float_scan():
         emb = F.transform("embedding", lambda x: x.cast("double"))
         d = F.aggregate(F.zip_with(F.col("emb"), F.col("qe"),
@@ -124,8 +149,12 @@ def main() -> None:
     def code_scan():
         return pq_adc_topk(codes, cbs, q_emb).collect()
 
+    def ivfpq_scan():
+        return ivfpq_adc_topk(icodes, cens, cbs2, q_emb).collect()
+
     t_float, exact = _best_of(float_scan)
     t_code, approx = _best_of(code_scan)
+    t_ivfpq, iapprox = _best_of(ivfpq_scan)
     # recall vs the exact top-10 AND vs the planted set: all 20
     # planted rows quantize into near-identical cells, so their ADC
     # distances tie — ADC returns SOME 10 of the 20 (set retrieval,
@@ -134,6 +163,7 @@ def main() -> None:
     recall = len({r.vec_id for r in exact}
                  & {r.vec_id for r in approx}) / 10.0
     planted = sum(1 for r in approx if 1 <= r.vec_id <= 20) / 10.0
+    iplanted = sum(1 for r in iapprox if 1 <= r.vec_id <= 20) / 10.0
     spark.stop()
     cal_after = _calibrate()
     print(json.dumps({
@@ -142,11 +172,16 @@ def main() -> None:
         "bytes_float_table": _bytes(emb_path),
         "bytes_code_table": _bytes(codes_path),
         "encode_once_s": encode_s,
+        "ivfpq_encode_once_s": ivfpq_encode_s,
+        "bytes_ivfpq_table": _bytes_tree(ivfpq_path),
         "float_scan_s": round(t_float, 3),
         "adc_scan_s": round(t_code, 3),
+        "ivfpq_pruned_scan_s": round(t_ivfpq, 3),
         "speedup": round(t_float / t_code, 2),
+        "ivfpq_speedup_vs_float": round(t_float / t_ivfpq, 2),
         "recall_at_10": recall,
         "planted_in_top10": planted,
+        "ivfpq_planted_in_top10": iplanted,
     }))
 
 

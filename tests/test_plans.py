@@ -276,6 +276,39 @@ def test_ivfpq_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan, plan[:2000]
 
 
+def test_ivfpq_partition_pruned_scan(spark, tmp_path):
+    """The IVF-PQ serving path: codes persisted PARTITIONED BY list_id
+    make the query's nprobe filter parquet PARTITION PRUNING — the
+    executed scan carries a list_id PartitionFilter, reads only the
+    codes in its data schema (never the embedding), and returns
+    exactly the gated operator's quantized top-10 (same floats: the
+    serve path is the operator's encode split at ingest)."""
+    from ai_pdf_ocr_spark.queries import all_queries
+    from ai_pdf_ocr_spark.queries.similarity import (ivfpq_adc_topk,
+                                                     ivfpq_encode_table)
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    codes_df, cens, cbs = ivfpq_encode_table(spark,
+                                             e.where("vec_id != 0"))
+    (codes_df.write.partitionBy("list_id")
+     .parquet(str(tmp_path / "ivfpq_codes")))
+    q_emb = [float(x) for x in
+             e.where("vec_id = 0").first().embedding]
+    stored = spark.read.parquet(str(tmp_path / "ivfpq_codes"))
+    top = ivfpq_adc_topk(stored, cens, cbs, q_emb)
+    plan = _executed_plan(top)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "list_id" in m.group(1), plan[:2500]
+    rs = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert "codes" in rs.group(1) and "embedding" not in rs.group(1)
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    got = [(r.vec_id, r.list_id, round(r.adc_d2, 4))
+           for r in top.collect()]
+    want = [(r.vec_id, r.list_id, r.adc_d2)
+            for r in all_queries()["ann_ivfpq_topk"]
+            .fn(spark, SF_DIR).collect()]
+    assert got == want
+
+
 def test_pq_rerank_no_shuffle(spark):
     """ann_pq_rerank_topk: coarse ADC top-R via TakeOrderedAndProject,
     candidate ids broadcast back onto the embeddings scan (BHJ), exact
