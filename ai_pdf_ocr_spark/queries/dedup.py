@@ -343,8 +343,12 @@ def _band_pairs(banded, star_over=None):
     The lazy localCheckpoint materializes the banded membership ONCE —
     a self-join otherwise recomputes the whole shingle->signature
     pipeline on both sides (measured: 0 reused exchanges, the broadcast
-    side cannot reuse the probe side's shuffle)."""
-    banded = banded.localCheckpoint(eager=False)
+    side cannot reuse the probe side's shuffle).  Exactly ONE
+    checkpoint either way: on the star path only ``sized`` is
+    checkpointed (both the cold self-join sides and the star filter
+    read that one materialization; checkpointing the raw ``banded``
+    too would persist the same rows twice for zero reuse — r5
+    code-review)."""
     if star_over is not None:
         from pyspark.sql import Window
 
@@ -358,7 +362,13 @@ def _band_pairs(banded, star_over=None):
                              & (F.col("doc_id") > F.col("dmin")))
                  .select(F.col("dmin").alias("d1"),
                          F.col("doc_id").alias("d2")))
-        return _band_pairs(cold).union(stars).distinct()
+        return _pair_join(cold).union(stars).distinct()
+    return _pair_join(banded.localCheckpoint(eager=False)).distinct()
+
+
+def _pair_join(banded):
+    """Raw (d1 < d2) co-member pairs of an already-materialized (or
+    cheap-to-rescan) banded membership — callers own dedup/checkpoint."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -367,7 +377,6 @@ def _band_pairs(banded, star_over=None):
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("d1"),
                 F.col("b.doc_id").alias("d2"))
-        .distinct()
     )
 
 

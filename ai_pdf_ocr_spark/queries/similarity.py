@@ -313,6 +313,28 @@ def _ivf_train(sample):
     return _kmeans_py(sample, IVF_K, IVF_ITERS)
 
 
+def _stride_sample(e):
+    """THE bounded, ordered training sample every ANN trainer uses —
+    vec_id % IVF_SAMPLE_STRIDE == 1, first IVF_SAMPLE_CAP rows by
+    vec_id, embeddings cast to float64.  One implementation (r5
+    code-review: six hand-maintained copies of this block were the
+    same silent-divergence hazard the r4 review fixed for the minhash
+    signature) — the twins reproduce it via the identical stride/order
+    (tests/oracle_sketches.py)."""
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    return [list(r.emb) for r in
+            (e.where(F.pmod("vec_id", F.lit(IVF_SAMPLE_STRIDE)) == 1)
+             .orderBy("vec_id").limit(IVF_SAMPLE_CAP)
+             .select(emb.alias("emb")).collect())]
+
+
+def _query_emb(e):
+    """The query vector (vec_id=0) as exact float64."""
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    return list(e.where(F.col("vec_id") == 0)
+                .select(emb.alias("emb")).first().emb)
+
+
 @register("ann_ivf_topk", sql=fixture_sql("ann_ivf_topk"))
 def ann_ivf_topk(spark, sf_dir):
     """IVF (inverted-file) ANN: the centroid-structured scale path the
@@ -346,13 +368,9 @@ def ann_ivf_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     emb = F.transform("embedding", lambda x: x.cast("double"))
 
-    sample = [list(r.emb) for r in
-              (e.where(F.pmod("vec_id", F.lit(IVF_SAMPLE_STRIDE)) == 1)
-               .orderBy("vec_id").limit(IVF_SAMPLE_CAP)
-               .select(emb.alias("emb")).collect())]
+    sample = _stride_sample(e)
     cens = _ivf_train(sample)
-    q_emb = list(e.where(F.col("vec_id") == 0)
-                 .select(emb.alias("emb")).first().emb)
+    q_emb = _query_emb(e)
     probed = [cid for _, cid in
               sorted((_l2_sq(q_emb, c), cid)
                      for cid, c in enumerate(cens))[:IVF_NPROBE]]
@@ -364,23 +382,14 @@ def ann_ivf_topk(spark, sf_dir):
     # a (d, cid) array column), then a cheap field-ref argmin fold —
     # folding with the distance expression inline in the argmin lambda
     # would evaluate it twice per centroid (condition + kept struct)
-    dists = F.transform(
-        F.col("cens"),
-        lambda c: F.struct(
-            F.aggregate(F.zip_with(F.col("emb"), c["cen"],
-                                   lambda x, y: (x - y) * (x - y)),
-                        F.lit(0.0), lambda a, v: a + v).alias("d"),
-            c["cid"].alias("cid")))
-    argmin = F.aggregate(
-        F.col("_dc"),
-        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("cid")),
-        lambda acc, p: F.when(p["d"] < acc["d"], p).otherwise(acc))
     assigned = (e.where(F.col("vec_id") != 0)
                 .withColumn("emb", emb)
                 .crossJoin(F.broadcast(cen_row))
-                .withColumn("_dc", dists)
+                .withColumn("_dc", _subspace_dists(F.col("cens"),
+                                                   F.col("emb")))
                 .select("vec_id", "label", "emb",
-                        argmin["cid"].alias("list_id")))
+                        _struct_argmin(F.col("_dc"))["cid"]
+                        .alias("list_id")))
 
     q = e.where(F.col("vec_id") == 0).select(emb.alias("qe"))
     top = (assigned.where(F.col("list_id").isin(probed))
@@ -473,6 +482,64 @@ def _pq_encode_cols(base, vec_col):
     return base
 
 
+def _adc_table(q_sub_src, cbs):
+    """Per-query ADC table: adc[m][c] = ||q_sub_m - cen||^2, driver
+    side, index order (bit-parity with the twins)."""
+    return [[_l2_sq(q_sub_src[m * PQ_SUB:(m + 1) * PQ_SUB], cen)
+             for cen in cbs[m]]
+            for m in range(PQ_M)]
+
+
+def _adc_tables_per_list(q_emb, cens, cbs):
+    """IVF-PQ per-list ADC tables over the query's residual to each
+    list centroid (tiny: IVF_K x PQ_M x PQ_K doubles)."""
+    return [_adc_table([x - y for x, y in zip(q_emb, cen)], cbs)
+            for cen in cens]
+
+
+def _adc_sum(tbl, code_of):
+    """Left-assoc sum of the PQ_M ADC lookups (the twins add in the
+    same order).  ``tbl``: Column of array<array<double>>;
+    ``code_of(m)``: Column holding code m."""
+    dist = F.element_at(F.element_at(tbl, 1), code_of(0) + 1)
+    for m in range(1, PQ_M):
+        dist = dist + F.element_at(F.element_at(tbl, m + 1),
+                                   code_of(m) + 1)
+    return dist
+
+
+def _ivfpq_train(sample):
+    """IVF centroids + RESIDUAL PQ codebooks from the one stride
+    sample — the FAISS IVFADC trainer (twin: ivfpq_topk_rows)."""
+    cens = _ivf_train(sample)
+    residuals = []
+    for s in sample:
+        cen = cens[_ivf_assign_py(s, cens)]
+        residuals.append([x - y for x, y in zip(s, cen)])
+    cbs = [
+        _kmeans_py([r[m * PQ_SUB:(m + 1) * PQ_SUB] for r in residuals],
+                   PQ_K, PQ_ITERS)
+        for m in range(PQ_M)
+    ]
+    return cens, cbs
+
+
+def _assign_list_col(base):
+    """list_id column via HOF argmin over the broadcast ``cens``."""
+    return (base.withColumn("_dc", _subspace_dists(F.col("cens"),
+                                                   F.col("emb")))
+            .withColumn("list_id", _struct_argmin(F.col("_dc"))["cid"])
+            .drop("_dc"))
+
+
+def _residual_col(base):
+    """_res = emb - assigned list's centroid, materialized as a column
+    FIRST (the HOF re-evaluation trap, CLAUDE.md)."""
+    cen_of = F.element_at("cens", F.col("list_id") + 1)["cen"]
+    return base.withColumn(
+        "_res", F.zip_with("emb", cen_of, lambda x, y: x - y))
+
+
 @register("ann_pq_topk", sql=fixture_sql("ann_pq_topk"))
 def ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN (Jegou et al., TPAMI 2011) — the
@@ -505,17 +572,10 @@ def ann_pq_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     emb = F.transform("embedding", lambda x: x.cast("double"))
 
-    sample = [list(r.emb) for r in
-              (e.where(F.pmod("vec_id", F.lit(IVF_SAMPLE_STRIDE)) == 1)
-               .orderBy("vec_id").limit(IVF_SAMPLE_CAP)
-               .select(emb.alias("emb")).collect())]
+    sample = _stride_sample(e)
     cbs = _pq_train(sample)
-    q_emb = list(e.where(F.col("vec_id") == 0)
-                 .select(emb.alias("emb")).first().emb)
-    # per-query ADC table: adc[m][c] = ||q_sub_m - cen||^2, driver-side
-    adc = [[_l2_sq(q_emb[m * PQ_SUB:(m + 1) * PQ_SUB], cen)
-            for cen in cbs[m]]
-           for m in range(PQ_M)]
+    q_emb = _query_emb(e)
+    adc = _adc_table(q_emb, cbs)
 
     cb_row = spark.createDataFrame(
         [(([list(enumerate(cb)) for cb in cbs]), adc)],
@@ -526,12 +586,7 @@ def ann_pq_topk(spark, sf_dir):
             .withColumn("emb", emb)
             .crossJoin(F.broadcast(cb_row)))
     base = _pq_encode_cols(base, "emb")
-    # ADC distance: left-assoc sum of the 8 table lookups (the twin
-    # adds in the same order)
-    dist = F.element_at(F.element_at("adc", 1), F.col("_code0") + 1)
-    for m in range(1, PQ_M):
-        dist = dist + F.element_at(F.element_at("adc", m + 1),
-                                   F.col(f"_code{m}") + 1)
+    dist = _adc_sum(F.col("adc"), lambda m: F.col(f"_code{m}"))
     top = (base.select("vec_id", "label", dist.alias("_d"))
            .orderBy("_d", "vec_id").limit(10))
     from pyspark.sql import Window
@@ -564,12 +619,7 @@ def pq_encode_table(spark, emb_df):
     corpus once; at 10^12 vectors the 8-byte codes fit hot storage
     where the 256-byte float rows cannot (32x smaller)."""
     emb = F.transform("embedding", lambda x: x.cast("double"))
-    sample = [list(r.emb) for r in
-              (emb_df.where(F.pmod("vec_id",
-                                   F.lit(IVF_SAMPLE_STRIDE)) == 1)
-               .orderBy("vec_id").limit(IVF_SAMPLE_CAP)
-               .select(emb.alias("emb")).collect())]
-    cbs = _pq_train(sample)
+    cbs = _pq_train(_stride_sample(emb_df))
     cb_row = spark.createDataFrame(
         [([list(enumerate(cb)) for cb in cbs],)],
         "cbs array<array<struct<cid:int,cen:array<double>>>>")
@@ -591,16 +641,11 @@ def pq_adc_topk(codes_df, cbs, q_emb, k=10):
     ReadSchema even when the float vectors sit in the same file
     (plan-pinned)."""
     spark = codes_df.sparkSession
-    adc = [[_l2_sq(q_emb[m * PQ_SUB:(m + 1) * PQ_SUB], cen)
-            for cen in cbs[m]]
-           for m in range(PQ_M)]
+    adc = _adc_table(q_emb, cbs)
     adc_row = spark.createDataFrame([(adc,)], "adc array<array<double>>")
     base = codes_df.crossJoin(F.broadcast(adc_row))
-    dist = F.element_at(F.element_at("adc", 1),
-                        F.element_at("codes", 1) + 1)
-    for m in range(1, PQ_M):
-        dist = dist + F.element_at(F.element_at("adc", m + 1),
-                                   F.element_at("codes", m + 1) + 1)
+    dist = _adc_sum(F.col("adc"),
+                    lambda m: F.element_at("codes", m + 1))
     return (base.select("vec_id", dist.alias("adc_d2"))
             .orderBy("adc_d2", "vec_id").limit(k))
 
@@ -633,16 +678,9 @@ def ann_pq_rerank_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     emb = F.transform("embedding", lambda x: x.cast("double"))
 
-    sample = [list(r.emb) for r in
-              (e.where(F.pmod("vec_id", F.lit(IVF_SAMPLE_STRIDE)) == 1)
-               .orderBy("vec_id").limit(IVF_SAMPLE_CAP)
-               .select(emb.alias("emb")).collect())]
-    cbs = _pq_train(sample)
-    q_emb = list(e.where(F.col("vec_id") == 0)
-                 .select(emb.alias("emb")).first().emb)
-    adc = [[_l2_sq(q_emb[m * PQ_SUB:(m + 1) * PQ_SUB], cen)
-            for cen in cbs[m]]
-           for m in range(PQ_M)]
+    cbs = _pq_train(_stride_sample(e))
+    q_emb = _query_emb(e)
+    adc = _adc_table(q_emb, cbs)
     cb_row = spark.createDataFrame(
         [(([list(enumerate(cb)) for cb in cbs]), adc)],
         "cbs array<array<struct<cid:int,cen:array<double>>>>, "
@@ -652,10 +690,7 @@ def ann_pq_rerank_topk(spark, sf_dir):
             .withColumn("emb", emb)
             .crossJoin(F.broadcast(cb_row)))
     base = _pq_encode_cols(base, "emb")
-    dist = F.element_at(F.element_at("adc", 1), F.col("_code0") + 1)
-    for m in range(1, PQ_M):
-        dist = dist + F.element_at(F.element_at("adc", m + 1),
-                                   F.col(f"_code{m}") + 1)
+    dist = _adc_sum(F.col("adc"), lambda m: F.col(f"_code{m}"))
     coarse = (base.select("vec_id", dist.alias("_adc"))
               .orderBy("_adc", "vec_id").limit(PQ_RERANK_R))
 
@@ -716,31 +751,12 @@ def ann_ivfpq_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     emb = F.transform("embedding", lambda x: x.cast("double"))
 
-    sample = [list(r.emb) for r in
-              (e.where(F.pmod("vec_id", F.lit(IVF_SAMPLE_STRIDE)) == 1)
-               .orderBy("vec_id").limit(IVF_SAMPLE_CAP)
-               .select(emb.alias("emb")).collect())]
-    cens = _ivf_train(sample)
-    residuals = []
-    for s in sample:
-        cen = cens[_ivf_assign_py(s, cens)]
-        residuals.append([x - y for x, y in zip(s, cen)])
-    cbs = [
-        _kmeans_py([r[m * PQ_SUB:(m + 1) * PQ_SUB] for r in residuals],
-                   PQ_K, PQ_ITERS)
-        for m in range(PQ_M)
-    ]
-    q_emb = list(e.where(F.col("vec_id") == 0)
-                 .select(emb.alias("emb")).first().emb)
+    cens, cbs = _ivfpq_train(_stride_sample(e))
+    q_emb = _query_emb(e)
     probed = [cid for _, cid in
               sorted((_l2_sq(q_emb, c), cid)
                      for cid, c in enumerate(cens))[:IVF_NPROBE]]
-    adc = []
-    for cen in cens:
-        qr = [x - y for x, y in zip(q_emb, cen)]
-        adc.append([[_l2_sq(qr[m * PQ_SUB:(m + 1) * PQ_SUB], c)
-                     for c in cbs[m]]
-                    for m in range(PQ_M)])
+    adc = _adc_tables_per_list(q_emb, cens, cbs)
 
     bcast = spark.createDataFrame(
         [(list(enumerate(cens)), [list(enumerate(cb)) for cb in cbs],
@@ -751,23 +767,12 @@ def ann_ivfpq_topk(spark, sf_dir):
 
     base = (e.where(F.col("vec_id") != 0)
             .withColumn("emb", emb)
-            .crossJoin(F.broadcast(bcast))
-            .withColumn("_dc", _subspace_dists(F.col("cens"),
-                                               F.col("emb")))
-            .withColumn("list_id", _struct_argmin(F.col("_dc"))["cid"])
-            .drop("_dc")
-            .where(F.col("list_id").isin(probed)))
-    # residual vs the assigned list's centroid, materialized FIRST
-    cen_of = F.element_at("cens", F.col("list_id") + 1)["cen"]
-    base = base.withColumn(
-        "_res", F.zip_with("emb", cen_of, lambda x, y: x - y))
-    base = _pq_encode_cols(base, "_res")
+            .crossJoin(F.broadcast(bcast)))
+    base = _assign_list_col(base).where(F.col("list_id").isin(probed))
+    base = _pq_encode_cols(_residual_col(base), "_res")
     # ADC: 8 lookups into the ASSIGNED list's table, left-assoc sum
     tbl = F.element_at("adc", F.col("list_id") + 1)
-    dist = F.element_at(F.element_at(tbl, 1), F.col("_code0") + 1)
-    for m in range(1, PQ_M):
-        dist = dist + F.element_at(F.element_at(tbl, m + 1),
-                                   F.col(f"_code{m}") + 1)
+    dist = _adc_sum(tbl, lambda m: F.col(f"_code{m}"))
     top = (base.select("vec_id", "label", "list_id", dist.alias("_d"))
            .orderBy("_d", "vec_id").limit(10))
     from pyspark.sql import Window
@@ -796,35 +801,15 @@ def ivfpq_encode_table(spark, emb_df):
     ``.partitionBy("list_id")`` so serving prunes to the probed
     lists."""
     emb = F.transform("embedding", lambda x: x.cast("double"))
-    sample = [list(r.emb) for r in
-              (emb_df.where(F.pmod("vec_id",
-                                   F.lit(IVF_SAMPLE_STRIDE)) == 1)
-               .orderBy("vec_id").limit(IVF_SAMPLE_CAP)
-               .select(emb.alias("emb")).collect())]
-    cens = _ivf_train(sample)
-    residuals = []
-    for s in sample:
-        cen = cens[_ivf_assign_py(s, cens)]
-        residuals.append([x - y for x, y in zip(s, cen)])
-    cbs = [
-        _kmeans_py([r[m * PQ_SUB:(m + 1) * PQ_SUB] for r in residuals],
-                   PQ_K, PQ_ITERS)
-        for m in range(PQ_M)
-    ]
+    cens, cbs = _ivfpq_train(_stride_sample(emb_df))
     bcast = spark.createDataFrame(
         [(list(enumerate(cens)), [list(enumerate(cb)) for cb in cbs])],
         "cens array<struct<cid:int,cen:array<double>>>, "
         "cbs array<array<struct<cid:int,cen:array<double>>>>")
     base = (emb_df.withColumn("emb", emb)
-            .crossJoin(F.broadcast(bcast))
-            .withColumn("_dc", _subspace_dists(F.col("cens"),
-                                               F.col("emb")))
-            .withColumn("list_id", _struct_argmin(F.col("_dc"))["cid"])
-            .drop("_dc"))
-    cen_of = F.element_at("cens", F.col("list_id") + 1)["cen"]
-    base = base.withColumn(
-        "_res", F.zip_with("emb", cen_of, lambda x, y: x - y))
-    base = _pq_encode_cols(base, "_res")
+            .crossJoin(F.broadcast(bcast)))
+    base = _pq_encode_cols(_residual_col(_assign_list_col(base)),
+                           "_res")
     codes = F.array(*[F.col(f"_code{m}") for m in range(PQ_M)])
     keep = [c for c in emb_df.columns if c != "embedding"]
     return (base.select(*keep, "list_id", codes.alias("codes")),
@@ -843,21 +828,12 @@ def ivfpq_adc_topk(codes_df, cens, cbs, q_emb, k=10,
     probed = [cid for _, cid in
               sorted((_l2_sq(q_emb, c), cid)
                      for cid, c in enumerate(cens))[:nprobe]]
-    adc = []
-    for cen in cens:
-        qr = [x - y for x, y in zip(q_emb, cen)]
-        adc.append([[_l2_sq(qr[m * PQ_SUB:(m + 1) * PQ_SUB], c)
-                     for c in cbs[m]]
-                    for m in range(PQ_M)])
+    adc = _adc_tables_per_list(q_emb, cens, cbs)
     adc_row = spark.createDataFrame([(adc,)],
                                     "adc array<array<array<double>>>")
     base = (codes_df.where(F.col("list_id").isin(probed))
             .crossJoin(F.broadcast(adc_row)))
     tbl = F.element_at("adc", F.col("list_id") + 1)
-    dist = F.element_at(F.element_at(tbl, 1),
-                        F.element_at("codes", 1) + 1)
-    for m in range(1, PQ_M):
-        dist = dist + F.element_at(F.element_at(tbl, m + 1),
-                                   F.element_at("codes", m + 1) + 1)
+    dist = _adc_sum(tbl, lambda m: F.element_at("codes", m + 1))
     return (base.select("vec_id", "list_id", dist.alias("adc_d2"))
             .orderBy("adc_d2", "vec_id").limit(k))

@@ -40,7 +40,11 @@ import time
 
 N = int(os.environ.get("PQ_BENCH_N", "500000"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BASE = f"/tmp/spark_graft_pqbench/n{N}"
+# bump _v when synth_embeddings changes — the _SUCCESS cache check
+# would otherwise silently reuse a stale corpus (bench.py::ensure_
+# corpus learned the same lesson; r5 code-review)
+CORPUS_V = 1
+BASE = f"/tmp/spark_graft_pqbench/n{N}_v{CORPUS_V}"
 
 
 def synth_embeddings(spark, n):
