@@ -301,7 +301,11 @@ def test_ivfpq_partition_pruned_scan(spark, tmp_path):
     rs = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert "codes" in rs.group(1) and "embedding" not in rs.group(1)
     assert "Exchange hashpartitioning" not in plan, plan[:2000]
-    got = [(r.vec_id, r.list_id, round(r.adc_d2, 4))
+    # F.round is HALF_UP on the shortest decimal repr; builtin round()
+    # is banker's on the binary double — spark_round is the bit-parity
+    # twin (a ...5-terminating repr would otherwise flake this assert)
+    from tests.oracle_sketches import spark_round
+    got = [(r.vec_id, r.list_id, spark_round(r.adc_d2, 4))
            for r in top.collect()]
     want = [(r.vec_id, r.list_id, r.adc_d2)
             for r in all_queries()["ann_ivfpq_topk"]
