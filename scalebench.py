@@ -54,9 +54,15 @@ def _burn(_):
 
 CLUSTER_LEVELS = ((1, 2), (4, 2))  # (executors, cores_each): N -> 4N
 CLUSTER_MEASURE_RUNS = 8
+# same-window mode: warm-up budget before the shared barrier, then a
+# fixed measurement window both levels sample concurrently
+CW_WARMUP_BUDGET_S = 210.0
+CW_WINDOW_S = 240.0
 
 
-def worker_cluster(executors: int, cores: int, n_docs: int) -> None:
+def worker_cluster(executors: int, cores: int, n_docs: int,
+                   barrier_ts: float | None = None,
+                   window_s: float | None = None) -> None:
     """Same frozen job on a local-cluster master: SEPARATE executor
     JVMs with real inter-process (Netty) shuffle and addPyFile code
     distribution — the in-sandbox stand-in for 'N vs 4N executors on a
@@ -108,6 +114,10 @@ def worker_cluster(executors: int, cores: int, n_docs: int) -> None:
     prev = None
     warms = 0
     for _ in range(4):
+        # same-window mode: stop warming in time to make the barrier —
+        # a warm run straddling it would eat into the shared window
+        if barrier_ts is not None and time.time() > barrier_ts - 5.0:
+            break
         dt, n = run_once()
         warms += 1
         if best is None or dt < best[0]:
@@ -115,14 +125,40 @@ def worker_cluster(executors: int, cores: int, n_docs: int) -> None:
         if prev is not None and abs(dt - prev) / prev < 0.10:
             break
         prev = dt
-    for _ in range(CLUSTER_MEASURE_RUNS):
-        dt, n = run_once()
-        if dt < best[0]:
+    if barrier_ts is None:
+        for _ in range(CLUSTER_MEASURE_RUNS):
+            dt, n = run_once()
+            if dt < best[0]:
+                best = (dt, n)
+        dt, n = best
+        runs = CLUSTER_MEASURE_RUNS
+    else:
+        # SAME-WINDOW protocol: both levels sleep to a shared wall-clock
+        # barrier, then sample best-of over the IDENTICAL [barrier,
+        # barrier+window] interval — warm-up bests are DISCARDED (they
+        # ran under asymmetric pre-barrier conditions).  This removes
+        # the single-level tenancy confound the sequential protocol has
+        # (BASELINE.md: two sub-0.8 captures where one level matched
+        # its quiet wall while the other ran 1.8x slower).
+        wait = barrier_ts - time.time()
+        if wait > 0:
+            time.sleep(wait)
+        best = None
+        runs = 0
+        while time.time() < barrier_ts + window_s:
+            dt, n = run_once()
+            runs += 1
+            if best is None or dt < best[0]:
+                best = (dt, n)
+        if best is None:  # window too small for one run — still report
+            dt, n = run_once()
+            runs = 1
             best = (dt, n)
-    dt, n = best
+        dt, n = best
     print(json.dumps({"executors": executors, "cores_each": cores,
                       "total_cores": total, "wall_s": round(dt, 3),
-                      "warmup_runs": warms, "docs": n,
+                      "warmup_runs": warms, "window_runs": runs,
+                      "docs": n,
                       "docs_per_sec": round(n / dt, 1)}))
     spark.stop()
 
@@ -173,6 +209,65 @@ def main_cluster(update_baseline: bool) -> None:
     print(json.dumps(summary))
     if update_baseline:
         _update_baseline_cluster(summary)
+
+
+def main_cluster_same_window() -> None:
+    """Same-window executor-JVM scaling capture: BOTH cluster sizes run
+    CONCURRENTLY on disjoint cores (2 + 8 = 10 of the box's 32 hw
+    threads), warm up independently, then measure best-of over one
+    shared wall-clock window.  Sequential capture exposes the two
+    levels to different minutes of this box's documented 2x tenancy
+    swings (two sub-0.8 outliers in BASELINE.md both show one level at
+    its quiet wall and the other 1.8x degraded); here a swing hits
+    both levels or neither.  Mutual contention is symmetric and small
+    (10/32 threads) and biases the ratio toward 1 only via the shared
+    straggler tail — the calibration bracket around the whole window
+    is still reported."""
+    from ai_pdf_ocr_spark.engine.session import build_session
+
+    from bench import ensure_corpus
+    s = build_session(app="scalebench-gen", master="local[32]",
+                      shuffle_partitions=32)
+    s.sparkContext.setLogLevel("ERROR")
+    ensure_corpus(s, N_DOCS)
+    s.stop()
+
+    total_cores = sum(ex * c for ex, c in CLUSTER_LEVELS)
+    c_before = _calibrate(total_cores)
+    barrier = time.time() + CW_WARMUP_BUDGET_S
+    procs = []
+    for ex, cores in CLUSTER_LEVELS:
+        procs.append(((ex, cores), subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--cluster-worker-cw", str(ex), str(cores),
+             repr(barrier), repr(CW_WINDOW_S)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))))
+    results = {}
+    for (ex, cores), p in procs:
+        out, err = p.communicate()
+        if p.returncode != 0:
+            sys.stderr.write(err[-4000:])
+            raise SystemExit(f"same-window worker {ex}x{cores} failed")
+        line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+        results[ex] = json.loads(line)
+    c_after = _calibrate(total_cores)
+
+    (lo, _), (hi, _) = CLUSTER_LEVELS
+    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) \
+        / (hi / lo)
+    summary = {
+        "metric": "extraction scaling efficiency "
+                  "(N -> 4N executor JVMs, same-window concurrent)",
+        "n_docs": N_DOCS,
+        "window_s": CW_WINDOW_S,
+        "levels": results,
+        "calibration_Mops_bracket": [c_before, c_after],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
 
 
 def _update_baseline_cluster(s: dict) -> None:
@@ -278,6 +373,14 @@ def main() -> None:
         return
     if len(sys.argv) >= 4 and sys.argv[1] == "--cluster-worker":
         worker_cluster(int(sys.argv[2]), int(sys.argv[3]), N_DOCS)
+        return
+    if len(sys.argv) >= 6 and sys.argv[1] == "--cluster-worker-cw":
+        worker_cluster(int(sys.argv[2]), int(sys.argv[3]), N_DOCS,
+                       barrier_ts=float(sys.argv[4]),
+                       window_s=float(sys.argv[5]))
+        return
+    if "--cluster-same-window" in sys.argv:
+        main_cluster_same_window()
         return
     if "--cluster" in sys.argv:
         main_cluster("--update-baseline" in sys.argv)
