@@ -110,57 +110,71 @@ def worker_cluster(executors: int, cores: int, n_docs: int,
         out = base.agg(F.count("*").alias("docs")).collect()[0]
         return time.monotonic() - t0, out.docs
 
-    best = None
-    prev = None
-    warms = 0
-    for _ in range(4):
-        # same-window mode: stop warming in time to make the barrier —
-        # a warm run straddling it would eat into the shared window
-        if barrier_ts is not None and time.time() > barrier_ts - 5.0:
-            break
-        dt, n = run_once()
-        warms += 1
-        if best is None or dt < best[0]:
-            best = (dt, n)
-        if prev is not None and abs(dt - prev) / prev < 0.10:
-            break
-        prev = dt
-    if barrier_ts is None:
-        for _ in range(CLUSTER_MEASURE_RUNS):
-            dt, n = run_once()
-            if dt < best[0]:
-                best = (dt, n)
-        dt, n = best
-        runs = CLUSTER_MEASURE_RUNS
-    else:
-        # SAME-WINDOW protocol: both levels sleep to a shared wall-clock
-        # barrier, then sample best-of over the IDENTICAL [barrier,
-        # barrier+window] interval — warm-up bests are DISCARDED (they
-        # ran under asymmetric pre-barrier conditions).  This removes
-        # the single-level tenancy confound the sequential protocol has
-        # (BASELINE.md: two sub-0.8 captures where one level matched
-        # its quiet wall while the other ran 1.8x slower).
-        wait = barrier_ts - time.time()
-        if wait > 0:
-            time.sleep(wait)
-        best = None
-        runs = 0
-        while time.time() < barrier_ts + window_s:
-            dt, n = run_once()
-            runs += 1
-            if best is None or dt < best[0]:
-                best = (dt, n)
-        if best is None:  # window too small for one run — still report
-            dt, n = run_once()
-            runs = 1
-            best = (dt, n)
-        dt, n = best
+    best, warms, runs = _measure(run_once, 4, CLUSTER_MEASURE_RUNS,
+                                 barrier_ts, window_s)
+    dt, n = best
     print(json.dumps({"executors": executors, "cores_each": cores,
                       "total_cores": total, "wall_s": round(dt, 3),
                       "warmup_runs": warms, "window_runs": runs,
                       "docs": n,
                       "docs_per_sec": round(n / dt, 1)}))
     spark.stop()
+
+
+def _measure(run_once, max_warm: int, measure_runs: int,
+             barrier_ts: float | None, window_s: float | None):
+    """Shared warm-up + measurement discipline for every scaling
+    worker.  Warm until two consecutive runs converge within 10%
+    (bounded by ``max_warm``), then measure:
+
+     - sequential mode (``barrier_ts is None``): best over
+       ``measure_runs`` more runs, warm-up runs included in the best
+       (every completed run samples the same frozen job);
+     - SAME-WINDOW mode: sleep to the shared wall-clock barrier, then
+       best-of over the IDENTICAL [barrier, barrier+window] interval —
+       warm-up bests are DISCARDED (they ran under asymmetric
+       pre-barrier conditions).  This removes the single-level tenancy
+       confound the sequential protocol has (BASELINE.md: two sub-0.8
+       captures where one level matched its quiet wall while the other
+       ran 1.8x slower).
+
+    Returns (best_tuple, warmup_runs, measured_runs); ``run_once``
+    returns (wall_s, *payload) and best is the min-wall tuple."""
+    best = None
+    prev = None
+    warms = 0
+    for _ in range(max_warm):
+        # same-window mode: stop warming in time to make the barrier —
+        # a warm run straddling it would eat into the shared window
+        if barrier_ts is not None and time.time() > barrier_ts - 5.0:
+            break
+        out = run_once()
+        warms += 1
+        if best is None or out[0] < best[0]:
+            best = out
+        if prev is not None and abs(out[0] - prev) / prev < 0.10:
+            break
+        prev = out[0]
+    if barrier_ts is None:
+        for _ in range(measure_runs):
+            out = run_once()
+            if best is None or out[0] < best[0]:
+                best = out
+        return best, warms, measure_runs
+    wait = barrier_ts - time.time()
+    if wait > 0:
+        time.sleep(wait)
+    best = None
+    runs = 0
+    while time.time() < barrier_ts + window_s:
+        out = run_once()
+        runs += 1
+        if best is None or out[0] < best[0]:
+            best = out
+    if best is None:  # window too small for one run — still report
+        best = run_once()
+        runs = 1
+    return best, warms, runs
 
 
 def main_cluster(update_baseline: bool) -> None:
@@ -211,18 +225,20 @@ def main_cluster(update_baseline: bool) -> None:
         _update_baseline_cluster(summary)
 
 
-def main_cluster_same_window() -> None:
-    """Same-window executor-JVM scaling capture: BOTH cluster sizes run
-    CONCURRENTLY on disjoint cores (2 + 8 = 10 of the box's 32 hw
-    threads), warm up independently, then measure best-of over one
-    shared wall-clock window.  Sequential capture exposes the two
-    levels to different minutes of this box's documented 2x tenancy
-    swings (two sub-0.8 outliers in BASELINE.md both show one level at
-    its quiet wall and the other 1.8x degraded); here a swing hits
-    both levels or neither.  Mutual contention is symmetric and small
-    (10/32 threads) and biases the ratio toward 1 only via the shared
-    straggler tail — the calibration bracket around the whole window
-    is still reported."""
+def _same_window_capture(jobs, total_cores: int, metric: str) -> None:
+    """Shared same-window orchestrator: pre-materialize the corpus,
+    launch every job CONCURRENTLY (disjoint cores), bracket the whole
+    window with a raw-CPU calibration, and report best-of-window
+    throughput per level plus the N->4N efficiency.
+
+    Sequential capture exposes the two levels to different minutes of
+    this box's documented 2x tenancy swings (two sub-0.8 outliers in
+    BASELINE.md both show one level at its quiet wall and the other
+    1.8x degraded); here a swing hits both levels or neither.  Mutual
+    contention is symmetric and small (10/32 threads) and biases the
+    ratio toward 1 only via the shared straggler tail.
+
+    ``jobs``: [(level_key, argv_suffix), ...] low level first."""
     from ai_pdf_ocr_spark.engine.session import build_session
 
     from bench import ensure_corpus
@@ -232,33 +248,32 @@ def main_cluster_same_window() -> None:
     ensure_corpus(s, N_DOCS)
     s.stop()
 
-    total_cores = sum(ex * c for ex, c in CLUSTER_LEVELS)
     c_before = _calibrate(total_cores)
     barrier = time.time() + CW_WARMUP_BUDGET_S
     procs = []
-    for ex, cores in CLUSTER_LEVELS:
-        procs.append(((ex, cores), subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__),
-             "--cluster-worker-cw", str(ex), str(cores),
+    for key, argv in jobs:
+        procs.append((key, subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), *argv,
              repr(barrier), repr(CW_WINDOW_S)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)))))
     results = {}
-    for (ex, cores), p in procs:
+    for key, p in procs:
         out, err = p.communicate()
         if p.returncode != 0:
             sys.stderr.write(err[-4000:])
-            raise SystemExit(f"same-window worker {ex}x{cores} failed")
+            raise SystemExit(f"same-window worker {key} failed")
         line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
-        results[ex] = json.loads(line)
+        results[key] = json.loads(line)
     c_after = _calibrate(total_cores)
 
-    (lo, _), (hi, _) = CLUSTER_LEVELS
-    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) \
-        / (hi / lo)
+    (lo, _), (hi, _) = jobs
+    lo_r, hi_r = results[lo], results[hi]
+    cores_key = "total_cores" if "total_cores" in lo_r else "cpus"
+    factor = hi_r[cores_key] // lo_r[cores_key]
+    eff = (hi_r["docs_per_sec"] / lo_r["docs_per_sec"]) / factor
     summary = {
-        "metric": "extraction scaling efficiency "
-                  "(N -> 4N executor JVMs, same-window concurrent)",
+        "metric": metric,
         "n_docs": N_DOCS,
         "window_s": CW_WINDOW_S,
         "levels": results,
@@ -268,6 +283,31 @@ def main_cluster_same_window() -> None:
         "pass": eff >= 0.8,
     }
     print(json.dumps(summary))
+
+
+def main_cluster_same_window() -> None:
+    """Same-window executor-JVM capture: both cluster sizes (1x2 and
+    4x2 separate executor JVMs) run concurrently on disjoint cores."""
+    _same_window_capture(
+        [(ex, ["--cluster-worker-cw", str(ex), str(c)])
+         for ex, c in CLUSTER_LEVELS],
+        total_cores=sum(ex * c for ex, c in CLUSTER_LEVELS),
+        metric="extraction scaling efficiency "
+               "(N -> 4N executor JVMs, same-window concurrent)")
+
+
+CW_THREAD_LEVELS = (2, 8)  # the hardware's linear core range
+
+
+def main_threads_same_window() -> None:
+    """Same-window thread-level capture: local[2] and local[8] run
+    concurrently on disjoint cores — the 2->8 pair is the primary
+    thread-level evidence (the 8->32 pair crosses the SMT boundary)."""
+    _same_window_capture(
+        [(c, ["--worker-cw", str(c)]) for c in CW_THREAD_LEVELS],
+        total_cores=sum(CW_THREAD_LEVELS),
+        metric="extraction scaling efficiency "
+               "(N -> 4N threads, same-window concurrent)")
 
 
 def _update_baseline_cluster(s: dict) -> None:
@@ -309,7 +349,9 @@ Target >= 0.8: {'PASS' if s['pass'] else 'FAIL'}.
         f.write(text)
 
 
-def worker(cpus: int, n_docs: int) -> None:
+def worker(cpus: int, n_docs: int,
+           barrier_ts: float | None = None,
+           window_s: float | None = None) -> None:
     from pyspark.sql import functions as F
 
     from ai_pdf_ocr_spark.engine.partitioning import (compute_assignment,
@@ -340,28 +382,16 @@ def worker(cpus: int, n_docs: int) -> None:
         return time.monotonic() - t0, out.docs, out.spans_in
 
     # warm until converged (two consecutive runs within 10%), bounded;
-    # every completed run is a valid sample of the same job, so the
-    # reported number is the best over ALL runs (steady state — this
-    # sandbox shows ±30% transient load noise and a multi-run JIT ramp)
+    # in sequential mode every completed run is a valid sample of the
+    # same job, so the reported number is the best over ALL runs
+    # (steady state — this sandbox shows ±30% transient load noise and
+    # a multi-run JIT ramp)
     max_warm = 8 if cpus >= 16 else 4
-    best = None
-    prev = None
-    warms = 0
-    for _ in range(max_warm):
-        dt, n, spans = run_once()
-        warms += 1
-        if best is None or dt < best[0]:
-            best = (dt, n, spans)
-        if prev is not None and abs(dt - prev) / prev < 0.10:
-            break
-        prev = dt
-    for _ in range(MEASURE_RUNS):
-        dt, n, spans = run_once()
-        if best is None or dt < best[0]:
-            best = (dt, n, spans)
+    best, warms, runs = _measure(run_once, max_warm, MEASURE_RUNS,
+                                 barrier_ts, window_s)
     dt, n, spans = best
     print(json.dumps({"cpus": cpus, "wall_s": round(dt, 3),
-                      "warmup_runs": warms,
+                      "warmup_runs": warms, "window_runs": runs,
                       "docs": n, "spans_in": spans,
                       "docs_per_sec": round(n / dt, 1)}))
     spark.stop()
@@ -379,8 +409,16 @@ def main() -> None:
                        barrier_ts=float(sys.argv[4]),
                        window_s=float(sys.argv[5]))
         return
+    if len(sys.argv) >= 5 and sys.argv[1] == "--worker-cw":
+        worker(int(sys.argv[2]), N_DOCS,
+               barrier_ts=float(sys.argv[3]),
+               window_s=float(sys.argv[4]))
+        return
     if "--cluster-same-window" in sys.argv:
         main_cluster_same_window()
+        return
+    if "--threads-same-window" in sys.argv:
+        main_threads_same_window()
         return
     if "--cluster" in sys.argv:
         main_cluster("--update-baseline" in sys.argv)
