@@ -653,6 +653,46 @@ def pq_adc_topk(codes_df, cbs, q_emb, k=10):
 PQ_RERANK_R = 50  # coarse ADC candidates re-ranked exactly
 
 
+def pq_rerank_lookup(emb_df, cand_ids, q_emb, k=10):
+    """Stage 2 of two-stage PQ retrieval at CORPUS scale: fetch only
+    the R candidate rows' float vectors by a LITERAL ``vec_id IN``
+    list and re-rank them by exact squared L2 (top-k ->
+    TakeOrderedAndProject, no shuffle).
+
+    Layout contract that makes the fetch O(R), not O(N): the float
+    table must be written SORTED by vec_id (``repartitionByRange +
+    sortWithinPartitions``), so each parquet file/row-group covers a
+    narrow contiguous id range and the pushed In filter prunes the
+    scan to ~R row groups regardless of corpus size — the Spark
+    rendering of "point fetch from an id-ordered store".  Two
+    conditions are pinned in tests/test_plans.py::
+    test_pq_rerank_lookup_pushes_in_filter: the In predicate reaches
+    the parquet scan's PushedFilters, and the stage has no hash
+    Exchange.  NOTE: ``spark.sql.parquet.pushdown.inFilterThreshold``
+    must be >= len(cand_ids) (default 10) or Spark rewrites the
+    pushed form as a min/max RANGE, which prunes nothing for ids
+    scattered across the corpus — pq_scale_bench.py raises it to
+    cover PQ_RERANK_R.
+
+    ``cand_ids`` comes from a bounded ``pq_adc_topk(...,
+    k=PQ_RERANK_R).collect()`` (R = 50 rows on the driver — within
+    the repo's bounded-collect rule).  Combined cost: one 8-byte-code
+    ADC scan + R point fetches — exact top-k order at quantized-scan
+    cost (demonstrated at 0.5-8M vectors in BASELINE.md round-5)."""
+    spark = emb_df.sparkSession
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    q_row = spark.createDataFrame([(q_emb,)], "qe array<double>")
+    d2 = F.aggregate(F.zip_with(F.col("emb"), F.col("qe"),
+                                lambda x, y: (x - y) * (x - y)),
+                     F.lit(0.0), lambda a, v: a + v)
+    return (emb_df
+            .where(F.col("vec_id").isin([int(i) for i in cand_ids]))
+            .withColumn("emb", emb)
+            .crossJoin(F.broadcast(q_row))
+            .select("vec_id", d2.alias("d2"))
+            .orderBy("d2", "vec_id").limit(k))
+
+
 @register("ann_pq_rerank_topk", sql=fixture_sql("ann_pq_rerank_topk"))
 def ann_pq_rerank_topk(spark, sf_dir):
     """PQ + exact re-rank — the two-stage retrieval that completes the

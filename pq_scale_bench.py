@@ -19,7 +19,13 @@ scan cost to dominate (default 500k 64-dim vectors, ~PQ_BENCH_N env):
       IVF-PQ path — ADC over codes PARTITIONED BY list_id: the nprobe
                     filter is parquet partition pruning, so the scan
                     physically reads only nprobe/IVF_K of the code
-                    files (ivfpq_adc_topk).
+                    files (ivfpq_adc_topk);
+      re-rank path — two-stage retrieval (similarity.py::
+                    pq_rerank_lookup): ADC top-50 over the codes, then
+                    an In-list point fetch of those 50 float rows from
+                    an id-SORTED parquet layout + exact re-rank —
+                    EXACT top-10 order at quantized-scan cost (the
+                    record asserts equality with the float path).
     All end in TakeOrderedAndProject; best-of-3 after a warm pass,
     bracketed by the raw-CPU calibration (this box has 2x tenancy
     swings — BASELINE.md).
@@ -102,20 +108,38 @@ def main() -> None:
     from ai_pdf_ocr_spark.engine.session import build_session
     from pyspark.sql import functions as F
 
-    from ai_pdf_ocr_spark.queries.similarity import (ivfpq_adc_topk,
+    from ai_pdf_ocr_spark.queries.similarity import (PQ_RERANK_R,
+                                                     ivfpq_adc_topk,
                                                      ivfpq_encode_table,
                                                      pq_adc_topk,
-                                                     pq_encode_table)
+                                                     pq_encode_table,
+                                                     pq_rerank_lookup)
 
     cal_before = _calibrate()
     spark = build_session(app="pq_scale_bench", master=f"local[{CPUS}]",
                           shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # the literal IN list of the re-rank fetch must survive to the
+    # parquet reader as an eq-list (above this threshold Spark pushes
+    # a useless min/max range instead) — see pq_rerank_lookup
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
+                   str(max(PQ_RERANK_R, 10)))
+
     emb_path, codes_path = f"{BASE}/embeddings", f"{BASE}/codes"
     if not os.path.exists(os.path.join(emb_path, "_SUCCESS")):
         synth_embeddings(spark, N).write.mode("overwrite").parquet(emb_path)
     e = spark.read.parquet(emb_path)
+
+    # id-SORTED float layout for the stage-2 point fetch: 256 range
+    # files, each covering a contiguous vec_id slice, so the pushed
+    # In(vec_id, ...) prunes the scan to ~R row groups
+    sorted_path = f"{BASE}/embeddings_sorted"
+    if not os.path.exists(os.path.join(sorted_path, "_SUCCESS")):
+        (e.repartitionByRange(256, "vec_id")
+         .sortWithinPartitions("vec_id")
+         .write.mode("overwrite").parquet(sorted_path))
+    es = spark.read.parquet(sorted_path)
 
     # ingest-time encode (one pass, untimed: a production corpus pays
     # this once per ingest, not per query)
@@ -156,9 +180,18 @@ def main() -> None:
     def ivfpq_scan():
         return ivfpq_adc_topk(icodes, cens, cbs2, q_emb).collect()
 
+    def rerank_scan():
+        # both stages timed: ADC coarse top-R over codes (bounded
+        # R-row collect), then the In-list point fetch + exact re-rank
+        ids = [r.vec_id for r in
+               pq_adc_topk(codes, cbs, q_emb, k=PQ_RERANK_R).collect()]
+        return pq_rerank_lookup(es.where("vec_id != 0"),
+                                ids, q_emb).collect()
+
     t_float, exact = _best_of(float_scan)
     t_code, approx = _best_of(code_scan)
     t_ivfpq, iapprox = _best_of(ivfpq_scan)
+    t_rerank, rr = _best_of(rerank_scan)
     # recall vs the exact top-10 AND vs the planted set: all 20
     # planted rows quantize into near-identical cells, so their ADC
     # distances tie — ADC returns SOME 10 of the 20 (set retrieval,
@@ -186,6 +219,14 @@ def main() -> None:
         "recall_at_10": recall,
         "planted_in_top10": planted,
         "ivfpq_planted_in_top10": iplanted,
+        "rerank_total_s": round(t_rerank, 3),
+        "rerank_speedup_vs_float": round(t_float / t_rerank, 2),
+        # exact ORDER recovered at quantized-scan cost: all 20 planted
+        # near-dups land in the ADC top-50, so the re-rank sees every
+        # true top-10 row and its exact L2 reproduces the float scan's
+        # (vec_id, d2) ordering bit-for-bit
+        "rerank_exact_top10":
+            [r.vec_id for r in rr] == [r.vec_id for r in exact],
     }))
 
 

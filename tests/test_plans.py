@@ -245,6 +245,39 @@ def test_pq_code_scan_reads_codes_only(spark, tmp_path):
     assert got == exp
 
 
+def test_pq_rerank_lookup_pushes_in_filter(spark, tmp_path):
+    """Stage 2 of two-stage PQ retrieval (pq_rerank_lookup): the
+    literal vec_id IN list must reach the parquet scan's
+    PushedFilters (on an id-sorted layout that's what turns the
+    candidate fetch into ~R row-group reads instead of a full float
+    scan), the stage must have no hash Exchange, and the re-ranked
+    result must equal a driver-side exact recompute over the same
+    candidate ids."""
+    from pyspark.sql import functions as F
+
+    from ai_pdf_ocr_spark.queries.similarity import (_l2_sq,
+                                                     pq_rerank_lookup)
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    (e.repartitionByRange(4, "vec_id").sortWithinPartitions("vec_id")
+     .write.parquet(str(tmp_path / "emb_sorted.parquet")))
+    es = spark.read.parquet(str(tmp_path / "emb_sorted.parquet"))
+    q_emb = [float(x) for x in e.where("vec_id = 0").first().embedding]
+    # 7 ids: below the default inFilterThreshold(10), so the pushed
+    # form is the eq-list In() without any session config
+    ids = [3, 17, 41, 99, 150, 201, 333]
+    top = pq_rerank_lookup(es, ids, q_emb, k=5)
+    plan = _executed_plan(top)
+    assert re.search(r"PushedFilters: \[[^\]]*In\(vec_id", plan), \
+        plan[:3000]
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    by_id = {r.vec_id: [float(x) for x in r.embedding]
+             for r in e.where(F.col("vec_id").isin(ids)).collect()}
+    exp = sorted((_l2_sq(v, q_emb), i) for i, v in by_id.items())[:5]
+    got = [(r.d2, r.vec_id) for r in top.collect()]
+    assert got == exp
+
+
 def test_duplicate_spans_hash_key_flip(spark):
     """The 100 TB shuffle-key flip (VERDICT r4 ask #5a): keying the
     window shuffles by xxhash64(win) must produce IDENTICAL results
