@@ -142,11 +142,22 @@ def main() -> None:
     es = spark.read.parquet(sorted_path)
 
     # ingest-time encode (one pass, untimed: a production corpus pays
-    # this once per ingest, not per query)
-    t0 = time.monotonic()
-    codes_df, cbs = pq_encode_table(spark, e.where("vec_id != 0"))
-    codes_df.write.mode("overwrite").parquet(codes_path)
-    encode_s = round(time.monotonic() - t0, 3)
+    # this once per ingest, not per query).  The codes parquet is
+    # cached across runs like the corpus itself; the per-query
+    # codebooks are retrained from the same deterministic stride
+    # sample (driver-side, seconds) — identical floats, so a cached
+    # run serves bit-identical ADC tables.
+    from ai_pdf_ocr_spark.queries.similarity import (_ivfpq_train,
+                                                     _pq_train,
+                                                     _stride_sample)
+    if not os.path.exists(os.path.join(codes_path, "_SUCCESS")):
+        t0 = time.monotonic()
+        codes_df, cbs = pq_encode_table(spark, e.where("vec_id != 0"))
+        codes_df.write.mode("overwrite").parquet(codes_path)
+        encode_s = round(time.monotonic() - t0, 3)
+    else:
+        cbs = _pq_train(_stride_sample(e.where("vec_id != 0")))
+        encode_s = None  # cached from a previous run
     codes = spark.read.parquet(codes_path)
 
     q_emb = [float(x) for x in e.where("vec_id = 0").first().embedding]
@@ -156,12 +167,16 @@ def main() -> None:
     # parquet PARTITION PRUNING — the scan reads only nprobe/IVF_K of
     # the code files (plan-pinned in tests/test_plans.py)
     ivfpq_path = f"{BASE}/ivfpq_codes"
-    t0 = time.monotonic()
-    icodes_df, cens, cbs2 = ivfpq_encode_table(spark,
-                                               e.where("vec_id != 0"))
-    icodes_df.write.mode("overwrite").partitionBy("list_id") \
-        .parquet(ivfpq_path)
-    ivfpq_encode_s = round(time.monotonic() - t0, 3)
+    if not os.path.exists(os.path.join(ivfpq_path, "_SUCCESS")):
+        t0 = time.monotonic()
+        icodes_df, cens, cbs2 = ivfpq_encode_table(spark,
+                                                   e.where("vec_id != 0"))
+        icodes_df.write.mode("overwrite").partitionBy("list_id") \
+            .parquet(ivfpq_path)
+        ivfpq_encode_s = round(time.monotonic() - t0, 3)
+    else:
+        cens, cbs2 = _ivfpq_train(_stride_sample(e.where("vec_id != 0")))
+        ivfpq_encode_s = None  # cached from a previous run
     icodes = spark.read.parquet(ivfpq_path)
 
     def float_scan():
@@ -188,10 +203,20 @@ def main() -> None:
         return pq_rerank_lookup(es.where("vec_id != 0"),
                                 ids, q_emb).collect()
 
+    def ivfpq_rerank_scan():
+        # the full FAISS IVFADC+R serving stack: partition-pruned ADC
+        # top-R, then the same point fetch + exact re-rank
+        ids = [r.vec_id for r in
+               ivfpq_adc_topk(icodes, cens, cbs2, q_emb,
+                              k=PQ_RERANK_R).collect()]
+        return pq_rerank_lookup(es.where("vec_id != 0"),
+                                ids, q_emb).collect()
+
     t_float, exact = _best_of(float_scan)
     t_code, approx = _best_of(code_scan)
     t_ivfpq, iapprox = _best_of(ivfpq_scan)
     t_rerank, rr = _best_of(rerank_scan)
+    t_irerank, irr = _best_of(ivfpq_rerank_scan)
     # recall vs the exact top-10 AND vs the planted set: all 20
     # planted rows quantize into near-identical cells, so their ADC
     # distances tie — ADC returns SOME 10 of the 20 (set retrieval,
@@ -227,6 +252,10 @@ def main() -> None:
         # (vec_id, d2) ordering bit-for-bit
         "rerank_exact_top10":
             [r.vec_id for r in rr] == [r.vec_id for r in exact],
+        "ivfpq_rerank_total_s": round(t_irerank, 3),
+        "ivfpq_rerank_speedup_vs_float": round(t_float / t_irerank, 2),
+        "ivfpq_rerank_exact_top10":
+            [r.vec_id for r in irr] == [r.vec_id for r in exact],
     }))
 
 
